@@ -1,0 +1,72 @@
+"""Host-side minibatch loader: molecule dicts -> flat padded GraphBatch.
+
+Replaces PyG's DataLoader+collate (reference ``run.py:53``). TPU-first
+differences: static shapes (fixed graph count per batch, fixed node pad,
+drop-last), deterministic shuffling from a seed, and edges are built *on
+device* inside the jitted step (radius graph), so the host only ships
+z/pos/targets.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..graph import GraphBatch, batch_np
+
+
+class MoleculeLoader:
+    """Iterates GraphBatches over a list of molecule dicts
+    ({z, pos, y[, force]}).
+
+    Args:
+      data: sequence of molecule dicts.
+      batch_size: graphs per batch (static).
+      n_node_pad: node cap per batch; default batch_size * max atoms in data.
+      shuffle: reshuffle each epoch (epoch counter advances the rng).
+      seed: shuffle seed.
+      drop_last: keep static shapes by dropping the ragged tail (training);
+        when False the final batch is padded with empty graphs (eval).
+    """
+
+    def __init__(self, data: Sequence[Dict[str, np.ndarray]], batch_size: int,
+                 n_node_pad: Optional[int] = None, shuffle: bool = False,
+                 seed: int = 0, drop_last: Optional[bool] = None):
+        self.data = list(data)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = shuffle if drop_last is None else drop_last
+        if n_node_pad is None:
+            max_atoms = max(len(m["z"]) for m in self.data)
+            n_node_pad = batch_size * max_atoms
+        self.n_node_pad = n_node_pad
+
+    def __len__(self) -> int:
+        n = len(self.data)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.data))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            mols = [self.data[i] for i in idx]
+            graphs = []
+            for m in mols:
+                nodes = {"z": m["z"], "pos": m["pos"]}
+                if "force" in m:
+                    nodes["force"] = m["force"]
+                graphs.append({
+                    "nodes": nodes,
+                    "globals": {"y": np.atleast_1d(m["y"])},
+                    "senders": np.zeros(0, np.int32),
+                    "receivers": np.zeros(0, np.int32),
+                })
+            yield batch_np(graphs, self.n_node_pad, n_edge_pad=1,
+                           num_graphs=self.batch_size)

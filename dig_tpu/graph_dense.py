@@ -1,0 +1,168 @@
+"""Dense per-graph batch view for small graphs (molecules).
+
+For molecular workloads (QM9: <= 29 atoms) the MXU-friendly layout is dense
+``[G, n_max, ...]`` — all-pairs geometry is a tiny masked O(n^2) and XLA maps
+the per-graph feature transforms onto large batched matmuls. This is the
+TPU-native replacement for the reference's ``radius_graph`` +
+flat-edge-list pipeline (``dig/threedgraph/method/schnet/schnet.py:156``):
+instead of building a dynamic edge list on host we keep a static dense
+adjacency and convert to a *capped* flat edge list only when a model wants
+segment-style message passing.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .graph import GraphBatch
+
+Array = jax.Array
+
+
+@struct.dataclass
+class DenseGraphBatch:
+    """Fixed-slot molecular batch: every graph occupies ``n_max`` node slots.
+
+    Attributes:
+      z: ``[G, n_max]`` int32 atomic numbers (0 = padding slot).
+      pos: ``[G, n_max, 3]`` float positions.
+      node_mask: ``[G, n_max]`` bool.
+      globals: dict of ``[G, ...]`` per-graph arrays (targets, forces live in
+        ``nodes`` instead).
+      nodes: dict of extra ``[G, n_max, ...]`` per-node arrays (e.g. 'force').
+    """
+
+    z: Array
+    pos: Array
+    node_mask: Array
+    globals: Dict[str, Array]
+    nodes: Dict[str, Array]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.z.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.z.shape[1]
+
+
+def dense_batch_np(
+    z_list, pos_list, n_max: int, num_graphs: Optional[int] = None,
+    globals_list: Optional[Dict[str, list]] = None,
+    nodes_list: Optional[Dict[str, list]] = None,
+) -> DenseGraphBatch:
+    """Host-side batching of per-molecule (z, pos) into a DenseGraphBatch."""
+    G = num_graphs if num_graphs is not None else len(z_list)
+    z = np.zeros((G, n_max), np.int32)
+    pos = np.zeros((G, n_max, 3), np.float32)
+    mask = np.zeros((G, n_max), bool)
+    for i, (zi, pi) in enumerate(zip(z_list, pos_list)):
+        n = len(zi)
+        if n > n_max:
+            raise ValueError(f"molecule with {n} atoms > n_max={n_max}")
+        z[i, :n] = np.asarray(zi)
+        pos[i, :n] = np.asarray(pi)
+        mask[i, :n] = True
+    globals_ = {}
+    if globals_list:
+        for k, vals in globals_list.items():
+            arr = np.zeros((G,) + np.shape(np.atleast_1d(vals[0])), np.float32)
+            for i, v in enumerate(vals):
+                arr[i] = v
+            globals_[k] = jnp.asarray(arr)
+    nodes = {}
+    if nodes_list:
+        for k, vals in nodes_list.items():
+            ex = np.asarray(vals[0])
+            arr = np.zeros((G, n_max) + tuple(ex.shape[1:]), ex.dtype)
+            for i, v in enumerate(vals):
+                arr[i, : len(v)] = np.asarray(v)
+            nodes[k] = jnp.asarray(arr)
+    return DenseGraphBatch(
+        z=jnp.asarray(z), pos=jnp.asarray(pos), node_mask=jnp.asarray(mask),
+        globals=globals_, nodes=nodes,
+    )
+
+
+def dense_pairwise(pos: Array, node_mask: Array, eps: float = 1e-12):
+    """All-pairs distances and pair validity for a dense batch.
+
+    Returns (dist ``[G, n, n]``, pair_mask ``[G, n, n]``); the diagonal is
+    excluded from pair_mask. The sqrt is guarded so grads at 0 are finite.
+    """
+    diff = pos[:, :, None, :] - pos[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    n = pos.shape[1]
+    eye = jnp.eye(n, dtype=bool)
+    pair_mask = node_mask[:, :, None] & node_mask[:, None, :] & ~eye[None]
+    dist = jnp.sqrt(jnp.maximum(d2, eps))
+    return dist, pair_mask
+
+
+def radius_adjacency(pos: Array, node_mask: Array, cutoff: float):
+    """Dense radius graph: adjacency ``[G, n, n]`` with adj[g, i, j] True iff
+    ||pos_i - pos_j|| < cutoff, both real, i != j.
+
+    Matches PyG ``radius_graph(pos, r, batch)`` semantics (strict inequality,
+    no self loops) used at ``dig/threedgraph/method/schnet/schnet.py:156``.
+    """
+    dist, pair_mask = dense_pairwise(pos, node_mask)
+    return dist, pair_mask & (dist < cutoff)
+
+
+def dense_to_flat(
+    batch: DenseGraphBatch, adj: Array, max_edges: int
+) -> GraphBatch:
+    """Convert a dense batch + adjacency into a flat GraphBatch with a static
+    edge cap.
+
+    Edge extraction under jit: flatten the [G*n*n] adjacency, stable-argsort
+    by ~adj so real edges come first, take the first ``max_edges``. Overflow
+    (more real edges than the cap) silently drops the tail — callers should
+    size caps from data statistics (see datasets.*.edge_cap).
+
+    Edge order is row-major (by receiver graph, then sender, then receiver)
+    which is deterministic — unlike torch_scatter's nondeterministic atomics.
+    """
+    G, n = batch.z.shape
+    N_pad = G * n
+    flat_adj = adj.reshape(-1)
+    order = jnp.argsort(~flat_adj, stable=True)
+    take = order[:max_edges]
+    edge_mask = flat_adj[take]
+    # Decode (g, i, j): adjacency is [G, n_i, n_j] with i=receiver by our
+    # convention adj[g, i, j] == edge j -> i.
+    g_idx = take // (n * n)
+    rem = take % (n * n)
+    i_idx = rem // n
+    j_idx = rem % n
+    receivers = jnp.where(edge_mask, g_idx * n + i_idx, 0).astype(jnp.int32)
+    senders = jnp.where(edge_mask, g_idx * n + j_idx, 0).astype(jnp.int32)
+
+    node_graph = jnp.repeat(jnp.arange(G, dtype=jnp.int32), n)
+    n_node = jnp.sum(batch.node_mask, axis=1).astype(jnp.int32)
+    n_edge = jax.ops.segment_sum(
+        edge_mask.astype(jnp.int32), g_idx, num_segments=G
+    ).astype(jnp.int32)
+
+    nodes = {"z": batch.z.reshape(N_pad), "pos": batch.pos.reshape(N_pad, 3)}
+    for k, v in batch.nodes.items():
+        nodes[k] = v.reshape((N_pad,) + v.shape[2:])
+    return GraphBatch(
+        nodes=nodes,
+        edges={},
+        senders=senders,
+        receivers=receivers,
+        globals=dict(batch.globals),
+        node_graph=node_graph,
+        node_mask=batch.node_mask.reshape(N_pad),
+        edge_mask=edge_mask,
+        graph_mask=jnp.ones(G, bool),
+        n_node=n_node,
+        n_edge=n_edge,
+    )

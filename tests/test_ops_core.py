@@ -1,0 +1,202 @@
+"""Core-op tests: segment reductions, radius graph, triplets, torsion, basis.
+
+Brute-force numpy oracles mirror the reference semantics
+(``dig/threedgraph/utils/geometric_computing.py``) so these are parity tests
+in disguise.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dig_tpu.ops import (
+    segment_sum, segment_mean, segment_max, segment_softmax,
+    radius_graph_flat, build_triplets, triplet_geometry, torsion_angles,
+)
+from dig_tpu.ops.triplets import edge_distances
+from dig_tpu.ops import basis
+
+
+def test_segment_ops_masked():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(10, 4)).astype(np.float32)
+    seg = np.array([0, 0, 1, 1, 1, 2, 2, 0, 0, 0], np.int32)
+    mask = np.array([1, 1, 1, 1, 0, 1, 1, 0, 0, 0], bool)
+
+    s = segment_sum(jnp.asarray(data), jnp.asarray(seg), 3, jnp.asarray(mask))
+    want = np.zeros((3, 4), np.float32)
+    for i in range(10):
+        if mask[i]:
+            want[seg[i]] += data[i]
+    np.testing.assert_allclose(np.asarray(s), want, rtol=1e-6)
+
+    m = segment_mean(jnp.asarray(data), jnp.asarray(seg), 3, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(m)[0], want[0] / 2, rtol=1e-6)
+
+    mx = segment_max(jnp.asarray(data), jnp.asarray(seg), 3, jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(mx)[1], np.max(data[2:4], axis=0), rtol=1e-6)
+
+    sm = segment_softmax(jnp.asarray(data[:, 0]), jnp.asarray(seg), 3,
+                         jnp.asarray(mask))
+    sums = segment_sum(sm, jnp.asarray(seg), 3, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(sums), [1, 1, 1], atol=1e-6)
+
+
+def _brute_radius_edges(pos, graph_id, mask, cutoff):
+    """All ordered pairs (j sender, i receiver) with dist < cutoff."""
+    n = len(pos)
+    out = set()
+    for i in range(n):
+        for j in range(n):
+            if i == j or not (mask[i] and mask[j]):
+                continue
+            if graph_id[i] != graph_id[j]:
+                continue
+            if np.linalg.norm(pos[i] - pos[j]) < cutoff:
+                out.add((j, i))
+    return out
+
+
+def _make_batch(rng, n=14, g=3):
+    pos = rng.normal(size=(n, 3)).astype(np.float32) * 1.5
+    graph_id = np.sort(rng.integers(0, g, size=n)).astype(np.int32)
+    mask = np.ones(n, bool)
+    mask[-2:] = False
+    return pos, graph_id, mask
+
+
+def test_radius_graph_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    pos, graph_id, mask = _make_batch(rng)
+    cutoff = 2.0
+    senders, receivers, emask = radius_graph_flat(
+        jnp.asarray(pos), jnp.asarray(graph_id), jnp.asarray(mask),
+        cutoff, max_edges=256)
+    got = {(int(s), int(r)) for s, r, m in
+           zip(np.asarray(senders), np.asarray(receivers), np.asarray(emask)) if m}
+    want = _brute_radius_edges(pos, graph_id, mask, cutoff)
+    assert got == want
+    assert len(want) > 0
+
+
+def test_triplets_match_bruteforce():
+    rng = np.random.default_rng(2)
+    pos, graph_id, mask = _make_batch(rng)
+    cutoff = 2.5
+    senders, receivers, emask = radius_graph_flat(
+        jnp.asarray(pos), jnp.asarray(graph_id), jnp.asarray(mask),
+        cutoff, max_edges=256)
+    trip = build_triplets(senders, receivers, emask, num_nodes=len(pos),
+                          max_in_degree=16)
+    s, r, em = np.asarray(senders), np.asarray(receivers), np.asarray(emask)
+    edges = [(int(s[e]), int(r[e])) for e in range(len(s))]
+    # oracle: for each edge e=(j,i), for each edge e'=(k,j), k != i
+    want = set()
+    for e, (j, i) in enumerate(edges):
+        if not em[e]:
+            continue
+        for e2, (k, j2) in enumerate(edges):
+            if em[e2] and j2 == j and k != i:
+                want.add((e2, e))  # (idx_kj, idx_ji)
+    got = {(int(a), int(b)) for a, b, m in
+           zip(np.asarray(trip.idx_kj), np.asarray(trip.idx_ji),
+               np.asarray(trip.mask)) if m}
+    assert got == want
+    assert len(want) > 10
+
+    # angles
+    angle = np.asarray(triplet_geometry(jnp.asarray(pos), trip))
+    tm = np.asarray(trip.mask)
+    ii, jj, kk = (np.asarray(trip.idx_i), np.asarray(trip.idx_j),
+                  np.asarray(trip.idx_k))
+    for t in np.nonzero(tm)[0][:50]:
+        v1 = pos[ii[t]] - pos[jj[t]]
+        v2 = pos[kk[t]] - pos[jj[t]]
+        cosang = v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
+        np.testing.assert_allclose(angle[t], np.arccos(np.clip(cosang, -1, 1)),
+                                   atol=1e-4)
+
+
+def _brute_torsion(pos, edges, em, idx_kj, idx_ji, tmask):
+    """Reference semantics: min over k_n in N(j) \\ {i} of dihedral."""
+    out = {}
+    for t in np.nonzero(tmask)[0]:
+        e_kj, e_ji = int(idx_kj[t]), int(idx_ji[t])
+        j, i = edges[e_ji]
+        k = edges[e_kj][0]
+        best = None
+        for e2, (kn, j2) in enumerate(edges):
+            if not em[e2] or j2 != j or kn == i:
+                continue
+            pj = pos[j]
+            ji = pos[i] - pj
+            j0 = pos[k] - pj
+            jn = pos[kn] - pj
+            p1 = np.cross(ji, j0)
+            p2 = np.cross(ji, jn)
+            a = p1 @ p2
+            b = np.cross(p1, p2) @ ji / np.linalg.norm(ji)
+            tor = np.arctan2(b, a)
+            if tor <= 0:
+                tor += 2 * np.pi
+            best = tor if best is None else min(best, tor)
+        out[t] = best
+    return out
+
+
+def test_torsion_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    pos, graph_id, mask = _make_batch(rng)
+    cutoff = 2.5
+    senders, receivers, emask = radius_graph_flat(
+        jnp.asarray(pos), jnp.asarray(graph_id), jnp.asarray(mask),
+        cutoff, max_edges=256)
+    trip = build_triplets(senders, receivers, emask, num_nodes=len(pos),
+                          max_in_degree=16)
+    tors = np.asarray(torsion_angles(jnp.asarray(pos), senders, trip))
+    s, r, em = np.asarray(senders), np.asarray(receivers), np.asarray(emask)
+    edges = [(int(s[e]), int(r[e])) for e in range(len(s))]
+    want = _brute_torsion(pos, edges, em, np.asarray(trip.idx_kj),
+                          np.asarray(trip.idx_ji), np.asarray(trip.mask))
+    for t, val in list(want.items())[:80]:
+        assert val is not None
+        np.testing.assert_allclose(tors[t], val, atol=1e-4)
+
+
+def test_bessel_basis_orthonormalish():
+    x = jnp.linspace(1e-3, 1.0, 2001)
+    tab = basis.bessel_table(3, 4, x)  # [2001, 3, 4]
+    assert tab.shape == (2001, 3, 4)
+    # l=0 basis is sqrt(2) sin(k pi x)/x normalized on [0, 1] with weight x^2
+    f = np.asarray(tab[:, 0, 0])
+    xs = np.asarray(x)
+    norm = np.trapezoid(f * f * xs * xs, xs)
+    np.testing.assert_allclose(norm, 1.0, atol=1e-2)
+
+
+def test_sph_harm_values():
+    theta = jnp.asarray([0.3, 1.2, 2.0])
+    t0 = basis.sph_m0_table(3, theta)
+    np.testing.assert_allclose(np.asarray(t0[:, 0]),
+                               np.full(3, 0.5 / np.sqrt(np.pi)), atol=1e-6)
+    # Y_1^0 = sqrt(3/(4pi)) cos(theta)
+    np.testing.assert_allclose(
+        np.asarray(t0[:, 1]),
+        np.sqrt(3 / (4 * np.pi)) * np.cos(np.asarray(theta)), atol=1e-6)
+    full = basis.sph_full_table(3, theta, jnp.asarray([0.1, 0.4, 0.9]))
+    assert full.shape == (3, 9)
+
+
+def test_edge_distance_grads_finite():
+    pos = jnp.asarray(np.random.default_rng(0).normal(size=(6, 3)),
+                      dtype=jnp.float32)
+    senders = jnp.asarray([0, 1, 0, 0], jnp.int32)
+    receivers = jnp.asarray([1, 2, 0, 0], jnp.int32)
+    emask = jnp.asarray([True, True, False, False])
+
+    def f(p):
+        return jnp.sum(edge_distances(p, senders, receivers, emask))
+
+    g = jax.grad(f)(pos)
+    assert np.all(np.isfinite(np.asarray(g)))
