@@ -146,7 +146,11 @@ def torsion_angles(pos: Array, senders: Array, trip: Triplets,
     b = jnp.sum(jnp.cross(plane1[:, None, :], plane2) * pos_ji[:, None, :], -1)
     b = b / dist_ji[:, None]
     tors = jnp.arctan2(b, a)
-    tors = jnp.where(tors <= 0.0, tors + 2.0 * jnp.pi, tors)
+    # Reference remaps tors <= 0 to (0, 2*pi] (geometric_computing.py:74).
+    # Use a small epsilon: the k_n == k self-candidate has b == 0 exactly in
+    # eager arithmetic (-> 2*pi in the reference) but XLA fusion can leave
+    # b ~ 1e-9, which would otherwise land on the wrong branch.
+    tors = jnp.where(tors <= 1e-6, tors + 2.0 * jnp.pi, tors)
     tors = jnp.where(cand_valid, tors, 1e30)
     out = jnp.min(tors, axis=1)
     # Empty candidate sets cannot occur for valid triplets (k itself is

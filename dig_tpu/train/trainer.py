@@ -38,7 +38,9 @@ class TrainState:
 
 def make_train_state(model, optimizer, example_batch: GraphBatch,
                      seed: int = 42) -> TrainState:
-    params = model.init(jax.random.PRNGKey(seed), example_batch)
+    # jit the init: un-jitted flax init dispatches every op eagerly, which
+    # is pathological over a remote-TPU tunnel (one round-trip per op).
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), example_batch)
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.zeros((), jnp.int32))
 

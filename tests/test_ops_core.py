@@ -161,7 +161,11 @@ def test_torsion_matches_bruteforce():
                           np.asarray(trip.idx_ji), np.asarray(trip.mask))
     for t, val in list(want.items())[:80]:
         assert val is not None
-        np.testing.assert_allclose(tors[t], val, atol=1e-4)
+        # Compare circularly: torsion 0 and 2*pi are the same angle, and the
+        # (0, 2*pi] remap is a branch point where fp noise flips the side.
+        diff = abs(float(tors[t]) - float(val))
+        diff = min(diff, 2 * np.pi - diff)
+        assert diff < 1e-4, (t, float(tors[t]), float(val))
 
 
 def test_bessel_basis_orthonormalish():
