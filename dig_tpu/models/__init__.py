@@ -1,3 +1,4 @@
 from .schnet import SchNet
+from .spherenet import DimeNetPP, SphereNet
 
-__all__ = ["SchNet"]
+__all__ = ["SchNet", "SphereNet", "DimeNetPP"]

@@ -1,0 +1,293 @@
+"""SphereNet & DimeNet++ — spherical/directional message passing, TPU-native.
+
+Capability parity with ``dig/threedgraph/method/spherenet/spherenet.py:17-320``
+and ``dig/threedgraph/method/dimenetpp/dimenetpp.py:20-293``. Same math
+(dist/angle/torsion basis embeddings, edge-level message update with triplet
+scatter idx_kj -> idx_ji, per-layer graph accumulation readout), re-designed
+for XLA: static-cap radius graph + triplet tables with masks
+(:mod:`dig_tpu.ops.triplets`), masked segment-sums everywhere, one jit trace.
+
+The two models share every block; DimeNet++ is the no-torsion variant. Basis
+tables come from :mod:`dig_tpu.ops.basis` (sympy -> closed-form jnp).
+
+Reference layout notes preserved exactly (for weight-level parity):
+* ``init``: e1 = act(W [x_i ; x_j ; act(W0 rbf)]), e2 = (W1 rbf) * e1
+  (spherenet.py:53-93).
+* ``update_e``: rbf/sbf/torsion two-stage basis projections, down-proj ->
+  triplet gather-multiply -> segment-sum over idx_ji -> up-proj, residual
+  stacks around a skip (spherenet.py:96-183).
+* ``update_v``: segment-sum of e2 to receiver i, then output MLP
+  (spherenet.py:186-216). The reference's ``scatter`` has no dim_size and
+  can silently shrink; here output size is always num_nodes.
+* ``update_u``: running per-graph sum across layers (spherenet.py:219-226).
+* torsion basis reshape semantics: out[t,a,b,c] = Y[a*n+b](theta,phi) *
+  j[b,c](d_kj) exactly as features.py:262-263's view/broadcast dance.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphBatch
+from ..nn.init import glorot_orthogonal
+from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
+from ..ops.radius import radius_graph_flat
+from ..ops.segment import segment_sum
+from ..ops.triplets import (Triplets, build_triplets, edge_distances,
+                            torsion_angles, triplet_geometry)
+
+go2 = glorot_orthogonal(2.0)
+zeros = jax.nn.initializers.zeros
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _uniform_sqrt3(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -np.sqrt(3.0), np.sqrt(3.0))
+
+
+class DistEmb(nn.Module):
+    """Learnable-frequency spherical-Bessel j0 RBF with polynomial envelope
+    (reference features.py:166-181; freq init n*pi)."""
+
+    num_radial: int
+    cutoff: float
+    envelope_exponent: int = 5
+
+    @nn.compact
+    def __call__(self, dist):
+        freq = self.param(
+            "freq", lambda key: jnp.arange(1, self.num_radial + 1,
+                                           dtype=jnp.float32) * jnp.pi)
+        d = (dist / self.cutoff)[:, None]
+        env = Envelope(self.envelope_exponent)(d)
+        return env * jnp.sin(freq * d)
+
+
+class AngleEmb(nn.Module):
+    """a_{l,m}(d_kj, theta): bessel(d_kj) x Y_l^0(theta) -> [T, n*k]
+    (reference features.py:183-220)."""
+
+    num_spherical: int
+    num_radial: int
+    cutoff: float
+
+    def __call__(self, dist, angle, idx_kj):
+        rbf = bessel_table(self.num_spherical, self.num_radial,
+                           dist / self.cutoff)          # [E, n, k]
+        cbf = sph_m0_table(self.num_spherical, angle)   # [T, n]
+        out = rbf[idx_kj] * cbf[:, :, None]             # [T, n, k]
+        return out.reshape(out.shape[0], -1)
+
+
+class TorsionEmb(nn.Module):
+    """t_{l,m}(d_kj, theta, phi) -> [T, n*n*k] with the reference's exact
+    broadcast layout (features.py:226-263)."""
+
+    num_spherical: int
+    num_radial: int
+    cutoff: float
+
+    def __call__(self, dist, angle, phi, idx_kj):
+        n, k = self.num_spherical, self.num_radial
+        rbf = bessel_table(n, k, dist / self.cutoff)    # [E, n, k]
+        cbf = sph_full_table(n, angle, phi)             # [T, n*n]
+        cbf = cbf.reshape(-1, n, n)
+        # out[t, a, b, c] = cbf[t, a, b] * rbf[idx_kj[t], b, c]
+        out = cbf[:, :, :, None] * rbf[idx_kj][:, None, :, :]
+        return out.reshape(out.shape[0], n * n * k)
+
+
+class ResidualLayer(nn.Module):
+    hidden_channels: int
+    act: callable = swish
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
+                              bias_init=zeros)(x))
+        h = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
+                              bias_init=zeros)(h))
+        return x + h
+
+
+class InitBlock(nn.Module):
+    """init_e (reference spherenet.py:53-93)."""
+
+    hidden_channels: int
+    act: callable = swish
+
+    @nn.compact
+    def __call__(self, z, rbf, senders, receivers):
+        x = nn.Embed(95, self.hidden_channels,
+                     embedding_init=_uniform_sqrt3)(z)
+        rbf0 = self.act(nn.Dense(self.hidden_channels)(rbf))
+        e1 = self.act(nn.Dense(self.hidden_channels)(
+            jnp.concatenate([x[receivers], x[senders], rbf0], axis=-1)))
+        e2 = nn.Dense(self.hidden_channels, use_bias=False,
+                      kernel_init=go2)(rbf) * e1
+        return e1, e2
+
+
+class UpdateE(nn.Module):
+    """update_e (reference spherenet.py:96-183 / dimenetpp.py:81-160)."""
+
+    hidden_channels: int
+    int_emb_size: int
+    basis_emb_size_dist: int
+    basis_emb_size_angle: int
+    basis_emb_size_torsion: int
+    use_torsion: bool
+    num_before_skip: int = 1
+    num_after_skip: int = 2
+    act: callable = swish
+
+    @nn.compact
+    def __call__(self, e1, rbf0, sbf, tbf, trip: Triplets):
+        D = lambda f, b=False: nn.Dense(f, use_bias=b, kernel_init=go2)
+        x_ji = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
+                                 bias_init=zeros)(e1))
+        x_kj = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
+                                 bias_init=zeros)(e1))
+
+        rbf = D(self.basis_emb_size_dist)(rbf0)
+        rbf = D(self.hidden_channels)(rbf)
+        x_kj = x_kj * rbf
+
+        x_kj = self.act(D(self.int_emb_size)(x_kj))
+
+        s = D(self.basis_emb_size_angle)(sbf)
+        s = D(self.int_emb_size)(s)
+        x_kj = x_kj[trip.idx_kj] * s
+
+        if self.use_torsion:
+            t = D(self.basis_emb_size_torsion)(tbf)
+            t = D(self.int_emb_size)(t)
+            x_kj = x_kj * t
+
+        num_edges = e1.shape[0]
+        x_kj = segment_sum(x_kj, trip.idx_ji, num_edges, mask=trip.mask,
+                           indices_are_sorted=True)
+        x_kj = self.act(D(self.hidden_channels)(x_kj))
+
+        e1_new = x_ji + x_kj
+        h = self.hidden_channels
+        for _ in range(self.num_before_skip):
+            e1_new = ResidualLayer(h, self.act)(e1_new)
+        e1_new = self.act(nn.Dense(h, kernel_init=go2,
+                                   bias_init=zeros)(e1_new)) + e1
+        for _ in range(self.num_after_skip):
+            e1_new = ResidualLayer(h, self.act)(e1_new)
+        e2 = D(self.hidden_channels)(rbf0) * e1_new
+        return e1_new, e2
+
+
+class UpdateV(nn.Module):
+    """update_v (reference spherenet.py:186-216)."""
+
+    hidden_channels: int
+    out_emb_channels: int
+    out_channels: int
+    num_output_layers: int
+    output_init: str
+    act: callable = swish
+
+    @nn.compact
+    def __call__(self, e2, receivers, edge_mask, num_nodes):
+        v = segment_sum(e2, receivers, num_nodes, mask=edge_mask)
+        v = nn.Dense(self.out_emb_channels, kernel_init=go2)(v)
+        for _ in range(self.num_output_layers):
+            v = self.act(nn.Dense(self.out_emb_channels, kernel_init=go2,
+                                  bias_init=zeros)(v))
+        out_init = zeros if self.output_init == "zeros" else go2
+        v = nn.Dense(self.out_channels, use_bias=False,
+                     kernel_init=out_init)(v)
+        return v
+
+
+class _SphericalMPNN(nn.Module):
+    """Shared body of SphereNet / DimeNet++."""
+
+    use_torsion: bool = True
+    cutoff: float = 5.0
+    num_layers: int = 4
+    hidden_channels: int = 128
+    out_channels: int = 1
+    int_emb_size: int = 64
+    basis_emb_size_dist: int = 8
+    basis_emb_size_angle: int = 8
+    basis_emb_size_torsion: int = 8
+    out_emb_channels: int = 256
+    num_spherical: int = 7
+    num_radial: int = 6
+    envelope_exponent: int = 5
+    num_before_skip: int = 1
+    num_after_skip: int = 2
+    num_output_layers: int = 3
+    output_init: str = "GlorotOrthogonal"
+    max_edges: int = 4096
+    max_in_degree: int = 24
+
+    @nn.compact
+    def __call__(self, g: GraphBatch):
+        z = g.nodes["z"]
+        pos = g.nodes["pos"]
+        N = g.num_nodes
+        G = g.num_graphs
+
+        senders, receivers, edge_mask = radius_graph_flat(
+            pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges)
+
+        dist = edge_distances(pos, senders, receivers, edge_mask)
+        trip = build_triplets(senders, receivers, edge_mask, N,
+                              self.max_in_degree)
+        angle = triplet_geometry(pos, trip)
+
+        rbf0 = DistEmb(self.num_radial, self.cutoff,
+                       self.envelope_exponent)(dist)
+        sbf = AngleEmb(self.num_spherical, self.num_radial,
+                       self.cutoff)(dist, angle, trip.idx_kj)
+        if self.use_torsion:
+            phi = torsion_angles(pos, senders, trip)
+            tbf = TorsionEmb(self.num_spherical, self.num_radial,
+                             self.cutoff)(dist, angle, phi, trip.idx_kj)
+        else:
+            tbf = None
+
+        e1, e2 = InitBlock(self.hidden_channels)(z, rbf0, senders, receivers)
+        v = UpdateV(self.hidden_channels, self.out_emb_channels,
+                    self.out_channels, self.num_output_layers,
+                    self.output_init)(e2, receivers, edge_mask, N)
+        u = segment_sum(v, g.node_graph, G, mask=g.node_mask)
+
+        for _ in range(self.num_layers):
+            e1, e2 = UpdateE(self.hidden_channels, self.int_emb_size,
+                             self.basis_emb_size_dist,
+                             self.basis_emb_size_angle,
+                             self.basis_emb_size_torsion,
+                             self.use_torsion,
+                             self.num_before_skip,
+                             self.num_after_skip)(e1, rbf0, sbf, tbf, trip)
+            v = UpdateV(self.hidden_channels, self.out_emb_channels,
+                        self.out_channels, self.num_output_layers,
+                        self.output_init)(e2, receivers, edge_mask, N)
+            u = u + segment_sum(v, g.node_graph, G, mask=g.node_mask)
+        return u
+
+
+class SphereNet(_SphericalMPNN):
+    """SphereNet (dist + angle + torsion basis). Defaults mirror the
+    reference's documented defaults (spherenet.py:253-259)."""
+    use_torsion: bool = True
+
+
+class DimeNetPP(_SphericalMPNN):
+    """DimeNet++ (dist + angle basis; shared basis_emb_size). Defaults
+    mirror dimenetpp.py:88-93."""
+    use_torsion: bool = False

@@ -145,6 +145,11 @@ def torsion_angles(pos: Array, senders: Array, trip: Triplets,
     a = jnp.sum(plane1[:, None, :] * plane2, -1)       # [T, D]
     b = jnp.sum(jnp.cross(plane1[:, None, :], plane2) * pos_ji[:, None, :], -1)
     b = b / dist_ji[:, None]
+    # Double-where: arctan2(0, 0) has a NaN gradient which leaks through a
+    # single jnp.where; sanitize degenerate/padded inputs *before* arctan2.
+    degenerate = (a * a + b * b) < eps
+    a = jnp.where(degenerate, 1.0, a)
+    b = jnp.where(degenerate, 0.0, b)
     tors = jnp.arctan2(b, a)
     # Reference remaps tors <= 0 to (0, 2*pi] (geometric_computing.py:74).
     # Use a small epsilon: the k_n == k self-candidate has b == 0 exactly in

@@ -1,0 +1,146 @@
+"""SphereNet / DimeNet++ correctness: basis functions vs scipy ground truth,
+physical invariances (rotation/translation/permutation), padding invariance,
+and force-path training. (The torch reference can't run here — no PyG — so
+parity is checked at the math level: the basis construction is identical by
+derivation, reference features.py:14-148.)"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from scipy import special as sp
+
+from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+from dig_tpu.models import DimeNetPP, SphereNet
+from dig_tpu.ops import basis
+from dig_tpu.train.trainer import make_step_fns, make_train_state
+
+
+def test_bessel_basis_vs_scipy():
+    """b_{l,m}(x) = N * j_l(z_{l,m} x) with N = 1/sqrt(0.5*j_{l+1}(z)^2)."""
+    n, k = 4, 5
+    x = np.linspace(0.05, 1.0, 40)
+    table = np.asarray(basis.bessel_table(n, k, jnp.asarray(x)))  # [40, n, k]
+    zeros = np.array(basis._Jn_zeros(n, k))
+    for l in range(n):
+        for m in range(k):
+            z = zeros[l, m]
+            norm = 1.0 / np.sqrt(0.5 * basis._Jn(z, l + 1) ** 2)
+            want = norm * sp.spherical_jn(l, z * x)
+            # f32 closed-form Rayleigh recursion loses ~1e-4 rel near small x
+            # (reference lambdifies the same sympy forms to f32 torch).
+            np.testing.assert_allclose(table[:, l, m], want, rtol=1e-3,
+                                       atol=5e-4)
+
+
+def test_sph_m0_vs_scipy():
+    """Y_l^0(theta) equals scipy's real sph_harm at m=0."""
+    L = 5
+    theta = np.linspace(0.01, np.pi - 0.01, 30)
+    table = np.asarray(basis.sph_m0_table(L, jnp.asarray(theta)))
+    for l in range(L):
+        want = np.real(sp.sph_harm_y(l, 0, theta, 0.0))
+        np.testing.assert_allclose(table[:, l], want, rtol=1e-4, atol=1e-5)
+
+
+def test_sph_full_vs_scipy():
+    """Real Y_l^m vs scipy complex harmonics (standard real combination)."""
+    L = 4
+    rng = np.random.default_rng(0)
+    theta = rng.uniform(0.1, np.pi - 0.1, 20)
+    phi = rng.uniform(0.1, 2 * np.pi - 0.1, 20)
+    table = np.asarray(basis.sph_full_table(L, jnp.asarray(theta),
+                                            jnp.asarray(phi)))
+    # storage order per level l: [m=0, +1..+l, -l..-1]
+    col = 0
+    for l in range(L):
+        order = ([0] + list(range(1, l + 1)) + list(range(-l, 0))
+                 if l else [0])
+        for m in order:
+            y = sp.sph_harm_y(l, abs(m), theta, phi)
+            if m == 0:
+                want = np.real(y)
+            elif m > 0:
+                want = np.sqrt(2) * (-1) ** m * np.real(y)
+            else:
+                want = np.sqrt(2) * (-1) ** (-m) * np.imag(y)
+            got = table[:, col]
+            # sign convention may differ by Condon-Shortley handling:
+            # accept either global sign per (l, m)
+            if np.linalg.norm(got - want) > np.linalg.norm(got + want):
+                want = -want
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+            col += 1
+
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    mols = synthetic_molecules(4, seed=0, max_atoms=10, with_forces=True)
+    return mols, next(iter(MoleculeLoader(mols, 4, n_node_pad=40)))
+
+
+def _tiny(M):
+    return M(cutoff=3.0, num_layers=2, hidden_channels=32, int_emb_size=16,
+             out_emb_channels=32, num_spherical=3, num_radial=4,
+             max_edges=256, max_in_degree=8)
+
+
+@pytest.mark.parametrize("M", [SphereNet, DimeNetPP])
+def test_rotation_translation_invariance(M, tiny_batch):
+    mols, g = tiny_batch
+    model = _tiny(M)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+    out0 = np.asarray(model.apply(params, g))
+
+    # random rotation + translation
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    t = rng.normal(size=(1, 3)).astype(np.float32)
+    pos2 = np.asarray(g.nodes["pos"]) @ Q.astype(np.float32).T + t
+    g2 = g.replace(nodes={**g.nodes, "pos": jnp.asarray(pos2)})
+    out1 = np.asarray(model.apply(params, g2))
+    np.testing.assert_allclose(out0, out1, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("M", [SphereNet, DimeNetPP])
+def test_permutation_invariance(M, tiny_batch):
+    mols, g = tiny_batch
+    model = _tiny(M)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+    out0 = np.asarray(model.apply(params, g))
+
+    # permute atoms within each molecule, rebuild the batch
+    rng = np.random.default_rng(2)
+    mols_p = []
+    for m in mols:
+        p = rng.permutation(len(m["z"]))
+        mols_p.append({"z": m["z"][p], "pos": m["pos"][p], "y": m["y"],
+                       "force": m["force"][p]})
+    g2 = next(iter(MoleculeLoader(mols_p, 4, n_node_pad=40)))
+    out1 = np.asarray(model.apply(params, g2))
+    np.testing.assert_allclose(out0, out1, rtol=1e-3, atol=1e-3)
+
+
+def test_padding_invariance(tiny_batch):
+    mols, g = tiny_batch
+    model = _tiny(SphereNet)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+    out0 = np.asarray(model.apply(params, g))
+    g2 = next(iter(MoleculeLoader(mols, 4, n_node_pad=80)))
+    out1 = np.asarray(model.apply(params, g2))
+    np.testing.assert_allclose(out0, out1, rtol=2e-4, atol=2e-4)
+
+
+def test_force_training_decreases(tiny_batch):
+    mols, g = tiny_batch
+    model = _tiny(SphereNet)
+    opt = optax.adam(2e-3)
+    state = make_train_state(model, opt, g)
+    ts, _ = make_step_fns(model, opt, energy_and_force=True, p=1.0)
+    losses = []
+    for _ in range(12):
+        state, aux = ts(state, g)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
