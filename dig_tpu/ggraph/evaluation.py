@@ -1,0 +1,103 @@
+"""ggraph evaluators — parity with ``dig/ggraph/evaluation/metric.py``.
+
+* :class:`RandGenEvaluator` — validity / uniqueness / novelty %
+  (metric.py:16-48). Uniqueness & novelty use the chem kernel's canonical
+  hash in place of canonical SMILES strings.
+* :class:`PropOptEvaluator` — top-3 property scores (metric.py:51-94).
+* :class:`ConstPropOptEvaluator` — success rate + improvement stats at
+  similarity thresholds (metric.py:95-163).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..chem import Mol, canonical_hash, mol_from_smiles
+from .environment import (calculate_min_plogp, check_chemical_validity,
+                          qed_score, reward_target_molecule_similarity)
+
+
+class RandGenEvaluator:
+
+    def eval(self, input_dict: Dict) -> Dict[str, float]:
+        """input_dict: {'mols': [Mol], 'train_smiles': optional [str]}."""
+        mols = input_dict["mols"]
+        results = {}
+        valid = [m for m in mols if m is not None
+                 and check_chemical_validity(m)]
+        results["valid_ratio"] = 100.0 * len(valid) / max(len(mols), 1)
+        if valid:
+            hashes = [canonical_hash(m) for m in valid]
+            unique = set(hashes)
+            results["unique_ratio"] = 100.0 * len(unique) / len(valid)
+            train_smiles = input_dict.get("train_smiles")
+            if train_smiles is not None:
+                train_hashes = set()
+                for s in train_smiles:
+                    try:
+                        train_hashes.add(canonical_hash(mol_from_smiles(s)))
+                    except Exception:
+                        pass
+                novel = [h for h in unique if h not in train_hashes]
+                results["novel_ratio"] = 100.0 * len(novel) / len(unique)
+        print("Valid Ratio: {:.2f}%".format(results["valid_ratio"]))
+        if "unique_ratio" in results:
+            print("Unique Ratio: {:.2f}%".format(results["unique_ratio"]))
+        if "novel_ratio" in results:
+            print("Novel Ratio: {:.2f}%".format(results["novel_ratio"]))
+        return results
+
+
+class PropOptEvaluator:
+
+    def __init__(self, prop_name: str = "plogp"):
+        assert prop_name in ("plogp", "qed")
+        self.prop_name = prop_name
+
+    def eval(self, input_dict: Dict) -> Dict:
+        mols = [m for m in input_dict["mols"]
+                if m is not None and check_chemical_validity(m)]
+        fn = calculate_min_plogp if self.prop_name == "plogp" else qed_score
+        scored = sorted({canonical_hash(m): fn(m) for m in mols}.items(),
+                        key=lambda kv: -kv[1])
+        top3 = [v for _, v in scored[:3]]
+        while len(top3) < 3:
+            top3.append(float("-inf"))
+        res = {1: top3[0], 2: top3[1], 3: top3[2]}
+        print(f"Top-3 {self.prop_name}: {top3}")
+        return res
+
+
+class ConstPropOptEvaluator:
+
+    def eval(self, input_dict: Dict) -> Dict:
+        """input_dict: {'mols_0': seed mols, 'mols_2'/'mols_4'/'mols_6':
+        optimized mols at similarity thresholds 0.0/0.2/0.4/0.6,
+        'inp_smiles': inputs}. Reports success rate and improvement
+        mean/std per threshold (metric.py:95-163)."""
+        inp = [mol_from_smiles(s) for s in input_dict["inp_smiles"]]
+        results = {}
+        for thr_key, thr in (("mols_0", 0.0), ("mols_2", 0.2),
+                             ("mols_4", 0.4), ("mols_6", 0.6)):
+            if thr_key not in input_dict:
+                continue
+            out = input_dict[thr_key]
+            imps = []
+            n_success = 0
+            for m_in, m_out in zip(inp, out):
+                if m_out is None or not check_chemical_validity(m_out):
+                    continue
+                sim = reward_target_molecule_similarity(m_in, m_out)
+                if sim >= thr:
+                    n_success += 1
+                    imps.append(calculate_min_plogp(m_out)
+                                - calculate_min_plogp(m_in))
+            rate = 100.0 * n_success / max(len(inp), 1)
+            mean = float(np.mean(imps)) if imps else 0.0
+            std = float(np.std(imps)) if imps else 0.0
+            results[int(thr * 10)] = {"success_rate": rate,
+                                      "improvement": (mean, std)}
+            print(f"sim >= {thr}: success {rate:.2f}%, "
+                  f"improvement {mean:.2f} +/- {std:.2f}")
+        return results

@@ -1,0 +1,227 @@
+"""GraphDF — discrete normalizing flow for autoregressive molecule
+generation.
+
+Parity with ``dig/ggraph/method/GraphDF/model/{graphflow.py,disgraphaf.py,
+st_net.py}``: node-then-edge autoregression over dense one-hot tensors,
+modular one-hot shifts produced by straight-through argmax ST nets on RGCN
+graph embeddings of BFS-masked subgraphs, discrete log-prob against
+learnable categorical bases.
+
+TPU design notes:
+* The R masked subgraph views per molecule are evaluated as one big
+  ``[B*R, N, ...]`` batched RGCN (the reference does the same; it is the
+  right layout for the MXU).
+* Generation uses two tiny jitted step fns (node / edge reverse) driven by
+  a host loop that owns the RDKit-equivalent valency feedback
+  (SURVEY.md §3.3 — the sampling loop is inherently sequential; the step
+  is jitted, the chemistry stays on host).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .flow_utils import (FlowMasks, build_flow_masks, one_hot_add,
+                         one_hot_argmax_st, one_hot_minus)
+from .rgcn import RGCN
+
+xavier = jax.nn.initializers.glorot_uniform()
+
+
+class STDis(nn.Module):
+    """Discrete ST net: Linear-tanh-Linear -> ST one-hot argmax
+    (reference st_net.py:197-223)."""
+
+    output_dim: int
+    hid_dim: int = 128
+    temperature: float = 0.1
+
+    @nn.compact
+    def __call__(self, emb):
+        h = jnp.tanh(nn.Dense(self.hid_dim, kernel_init=xavier)(emb))
+        loc = nn.Dense(self.output_dim, kernel_init=xavier)(h)
+        return one_hot_argmax_st(loc, self.temperature)
+
+
+class BatchNormEmb(nn.Module):
+    """Feature-axis batch norm over node embeddings (batch statistics mode,
+    matching the reference's train-time BatchNorm1d at disgraphaf.py:31)."""
+
+    @nn.compact
+    def __call__(self, h):
+        # h: [B, N, d] — normalize each channel over (B, N)
+        mean = jnp.mean(h, axis=(0, 1))
+        var = jnp.var(h, axis=(0, 1))
+        scale = self.param("scale", jax.nn.initializers.ones, (h.shape[-1],))
+        bias = self.param("bias", jax.nn.initializers.zeros, (h.shape[-1],))
+        return (h - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+class DisGraphAF(nn.Module):
+    """The flow core (reference disgraphaf.py:7-223)."""
+
+    masks: FlowMasks
+    num_flow_layer: int = 12
+    graph_size: int = 38
+    num_node_type: int = 9
+    num_edge_type: int = 4
+    use_bn: bool = True
+    num_rgcn_layer: int = 3
+    nhid: int = 128
+    nout: int = 128
+
+    def setup(self):
+        self.rgcn = RGCN(self.nhid, self.nout, self.num_edge_type - 1,
+                         self.num_rgcn_layer)
+        if self.use_bn:
+            self.bn = BatchNormEmb()
+        self.node_st = [STDis(self.num_node_type, self.nhid)
+                        for _ in range(self.num_flow_layer)]
+        self.edge_st = [STDis(self.num_edge_type, self.nhid)
+                        for _ in range(self.num_flow_layer)]
+
+    def _node_embs(self, x, adj):
+        h = self.rgcn(x, adj[:, :3])
+        if self.use_bn:
+            h = self.bn(h)
+        return h
+
+    def __call__(self, x, adj, x_deq, adj_deq):
+        """Training forward: z for every node/edge step.
+
+        x: [B, N, node_dim]; adj: [B, 4, N, N];
+        x_deq: [B, N, node_dim]; adj_deq: [B, E_steps, bond_dim].
+        """
+        B = x.shape[0]
+        R = self.masks.node_masks.shape[0]
+        N = self.graph_size
+        nm = jnp.asarray(self.masks.node_masks)          # [R, N]
+        am = jnp.asarray(self.masks.adj_masks)           # [R, N, N]
+
+        xm = jnp.where(nm[None, :, :, None], x[:, None], 0.0)
+        xm = xm.reshape(B * R, N, self.num_node_type)
+        adjm = jnp.where(am[None, :, None], adj[:, None, :3], 0.0)
+        adjm = adjm.reshape(B * R, 3, N, N)
+
+        h = self.rgcn(xm, adjm)                          # [B*R, N, d]
+        if self.use_bn:
+            h = self.bn(h)
+        h = h.reshape(B, R, N, -1)
+        graph_emb = jnp.sum(h, axis=2)                   # [B, R, d]
+
+        emb_node = graph_emb[:, :N]                      # [B, N, d]
+        # edge embs: [graph_emb ; emb(j) ; emb(i)] per edge step
+        li = jnp.asarray(self.masks.link_index)          # [S, 2]
+        h_edge = h[:, N:]                                # [B, S, N, d]
+        S = h_edge.shape[1]
+        s_idx = jnp.arange(S)[:, None]                   # [S, 1]
+        sel = h_edge[:, s_idx, li]                       # [B, S, 2, d]
+        emb_edge = jnp.concatenate(
+            [sel.reshape(B, S, -1), graph_emb[:, N:]], axis=-1)  # [B,S,3d]
+
+        for i in range(self.num_flow_layer):
+            node_t = self.node_st[i](emb_node)
+            x_deq = one_hot_add(x_deq, node_t)
+            edge_t = self.edge_st[i](emb_edge)
+            adj_deq = one_hot_add(adj_deq, edge_t)
+        return x_deq, adj_deq
+
+    # -- generation-time embeddings (unmasked current canvas) -------------
+    def _embs_node(self, x, adj):
+        h = self._node_embs(x, adj)
+        return jnp.sum(h, axis=1)                        # [B, d]
+
+    def _embs_edge(self, x, adj, edge_index):
+        """edge_index: [B, 2] (j_source, i_new)."""
+        h = self._node_embs(x, adj)                      # [B, N, d]
+        g = jnp.sum(h, axis=1)                           # [B, d]
+        B = x.shape[0]
+        sel = h[jnp.arange(B)[:, None], edge_index]      # [B, 2, d]
+        return jnp.concatenate([sel.reshape(B, -1), g], axis=-1)
+
+    def reverse_node(self, x, adj, latent):
+        emb = self._embs_node(x, adj)
+        for i in reversed(range(self.num_flow_layer)):
+            t = self.node_st[i](emb)
+            latent = one_hot_minus(latent, t)
+        return latent
+
+    def reverse_edge(self, x, adj, latent, edge_index):
+        emb = self._embs_edge(x, adj, edge_index)
+        for i in reversed(range(self.num_flow_layer)):
+            t = self.edge_st[i](emb)
+            latent = one_hot_minus(latent, t)
+        return latent
+
+
+class GraphFlowModelDF(nn.Module):
+    """GraphDF top (reference graphflow.py:9-326): flow core + learnable
+    categorical bases + discrete log-prob."""
+
+    max_size: int
+    edge_unroll: int
+    node_dim: int
+    bond_dim: int
+    num_flow_layer: int = 12
+    num_rgcn_layer: int = 3
+    nhid: int = 128
+    nout: int = 128
+
+    def setup(self):
+        self.masks = build_flow_masks(self.max_size, self.edge_unroll)
+        self.flow_core = DisGraphAF(
+            self.masks, self.num_flow_layer, self.max_size, self.node_dim,
+            self.bond_dim, True, self.num_rgcn_layer, self.nhid, self.nout)
+        self.node_base_log_probs = self.param(
+            "node_base_log_probs", jax.nn.initializers.normal(1.0),
+            (self.max_size, self.node_dim))
+        self.edge_base_log_probs = self.param(
+            "edge_base_log_probs", jax.nn.initializers.normal(1.0),
+            (self.masks.num_edge_steps, self.bond_dim))
+
+    def __call__(self, x, adj):
+        """Training: z = flow(x, adj); returns (z_node, z_edge)."""
+        em = jnp.asarray(self.masks.edge_masks)
+        # [B, 4, N, N] -> [B, E_steps, 4] in link_index order. The mask
+        # walk is row-major over (i, j<i) which matches link_index order.
+        li = self.masks.link_index
+        adj_deq = adj[:, :, li[:, 1], li[:, 0]]          # [B, 4, S]
+        adj_deq = jnp.transpose(adj_deq, (0, 2, 1))      # [B, S, 4]
+        return self.flow_core(x, adj, x, adj_deq)
+
+    def dis_log_prob(self, z):
+        """Mean negative log-likelihood per dimension
+        (graphflow.py:320-326)."""
+        x_deq, adj_deq = z
+        node_lp = jax.nn.log_softmax(self.node_base_log_probs, axis=-1)
+        ll_node = jnp.sum(x_deq * node_lp, axis=(-1, -2))
+        edge_lp = jax.nn.log_softmax(self.edge_base_log_probs, axis=-1)
+        ll_edge = jnp.sum(adj_deq * edge_lp, axis=(-1, -2))
+        total_len = (self.max_size * self.node_dim
+                     + self.masks.num_edge_steps * self.bond_dim)
+        return -(jnp.mean(ll_node + ll_edge) / total_len)
+
+    def loss(self, x, adj):
+        return self.dis_log_prob(self.__call__(x, adj))
+
+    def nll(self, x, adj):
+        """Per-sample negative log-likelihood [B] (for reward weighting in
+        the RL fine-tune, reference graphflow_rl.py)."""
+        x_deq, adj_deq = self.__call__(x, adj)
+        node_lp = jax.nn.log_softmax(self.node_base_log_probs, axis=-1)
+        edge_lp = jax.nn.log_softmax(self.edge_base_log_probs, axis=-1)
+        ll = (jnp.sum(x_deq * node_lp, axis=(-1, -2))
+              + jnp.sum(adj_deq * edge_lp, axis=(-1, -2)))
+        total_len = (self.max_size * self.node_dim
+                     + self.masks.num_edge_steps * self.bond_dim)
+        return -ll / total_len
+
+    def reverse_node(self, x, adj, latent):
+        return self.flow_core.reverse_node(x, adj, latent)
+
+    def reverse_edge(self, x, adj, latent, edge_index):
+        return self.flow_core.reverse_edge(x, adj, latent, edge_index)
