@@ -1,0 +1,94 @@
+"""ExplainerBase — shared mask/eval machinery for all explainers.
+
+Parity with ``dig/xgraph/method/base_explainer.py:25-498``: apply soft/hard
+edge masks to the model (as multiplicative edge weights — the functional
+equivalent of PyG's ``__set_masks__``), k-hop subgraph extraction for
+node-level tasks, sparsity control, and ``eval_related_pred`` producing the
+origin/masked/maskout/zero probabilities XCollector consumes.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphBatch
+
+
+def k_hop_subgraph(node_idx: int, num_hops: int, senders, receivers,
+                   edge_mask, num_nodes: int):
+    """Nodes/edges within num_hops of node_idx (host-side numpy; reference
+    base_explainer.py:82-106 wraps PyG's k_hop_subgraph)."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    em = np.asarray(edge_mask)
+    node_set = {int(node_idx)}
+    for _ in range(num_hops):
+        sel = em & np.isin(receivers, list(node_set))
+        node_set |= set(senders[sel].tolist())
+    nodes = np.array(sorted(node_set))
+    sub_edge = em & np.isin(senders, nodes) & np.isin(receivers, nodes)
+    return nodes, sub_edge
+
+
+class ExplainerBase:
+    """Explainers hold a flax model + trained params and explain single
+    (batched-as-one) graphs."""
+
+    def __init__(self, model, params, epochs: int = 0, lr: float = 0.0,
+                 explain_graph: bool = True):
+        self.model = model
+        self.params = params
+        self.epochs = epochs
+        self.lr = lr
+        self.explain_graph = explain_graph
+        self.num_hops = getattr(model, "num_layers", 2)
+
+        @jax.jit
+        def _forward(params, g, edge_weight):
+            return model.apply(params, g, edge_weight)
+
+        self._forward = _forward
+
+    def predict_proba(self, g: GraphBatch, edge_weight=None):
+        logits = self._forward(self.params, g, edge_weight)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # -- mask utilities ---------------------------------------------------
+    @staticmethod
+    def control_sparsity(mask, sparsity: float = 0.7):
+        """Top (1 - sparsity) edges -> +inf, rest -> -inf (reference
+        metrics.py:19-57); sigmoid then yields a hard 0/1 weight."""
+        mask = np.asarray(mask, np.float32)
+        order = np.argsort(-mask)
+        split = int((1 - sparsity) * len(mask))
+        out = np.full_like(mask, -np.inf)
+        out[order[:split]] = np.inf
+        return out
+
+    def eval_related_pred(self, g: GraphBatch, edge_masks: List[np.ndarray],
+                          node_idx: Optional[int] = None) -> List[Dict]:
+        """For each class's hard edge mask produce origin / masked /
+        maskout / zero probabilities (base_explainer.py:259-302)."""
+        results = []
+        E = g.num_edges
+        ones = jnp.ones(E)
+        for ex_label, mask in enumerate(edge_masks):
+            m = jax.nn.sigmoid(jnp.asarray(mask, jnp.float32))
+            ori = self.predict_proba(g, ones)
+            masked = self.predict_proba(g, m)
+            maskout = self.predict_proba(g, 1.0 - m)
+            zero = self.predict_proba(g, jnp.zeros(E))
+            row = 0 if node_idx is None else node_idx
+            mask_np = np.asarray(mask)
+            finite_frac = float(np.mean(mask_np > 0)) if len(mask_np) else 0.0
+            results.append({
+                "origin": float(ori[row, ex_label]),
+                "masked": float(masked[row, ex_label]),
+                "maskout": float(maskout[row, ex_label]),
+                "zero": float(zero[row, ex_label]),
+                "sparsity": 1.0 - finite_frac,
+            })
+        return results

@@ -1,0 +1,180 @@
+"""Synthetic explainability benchmark datasets, generated offline.
+
+Parity with ``dig/xgraph/dataset/syn_dataset.py`` (BA-shapes, BA-community,
+tree-cycle, tree-grid) and ``ba_lrp.py`` (BA-LRP); the reference downloads
+pre-pickled copies, here the standard constructions are generated directly
+(same motif-on-base recipes). Molecule/sentiment datasets
+(``mol_dataset.py``, ``nlp_dataset.py``) load from a local cache when
+present.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..graph import GraphBatch, batch_np
+
+
+def _barabasi_albert(n: int, m: int, rng) -> List[Tuple[int, int]]:
+    edges = []
+    targets = list(range(m))
+    repeated = []
+    for v in range(m, n):
+        chosen = set()
+        while len(chosen) < m:
+            if repeated and rng.random() < 0.5:
+                chosen.add(int(rng.choice(repeated)))
+            else:
+                chosen.add(int(rng.integers(0, v)))
+        for t in chosen:
+            edges.append((v, t))
+            repeated += [v, t]
+    return edges
+
+
+def _attach_motif(edges, motif_edges, base_n, motif_n, anchor, rng):
+    off = base_n
+    for (a, b) in motif_edges:
+        edges.append((a + off, b + off))
+    edges.append((anchor, off))  # connect motif to base
+    return edges, off
+
+
+_HOUSE = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (1, 4)]  # house motif
+_CYCLE6 = [(i, (i + 1) % 6) for i in range(6)]
+_GRID9 = [(i, i + 1) for i in (0, 1, 3, 4, 6, 7)] + \
+         [(i, i + 3) for i in range(6)]
+
+
+def ba_shapes(num_base: int = 300, num_motifs: int = 80, m: int = 5,
+              seed: int = 0):
+    """BA base + house motifs; node labels 0 (base) / 1,2,3 (house roles)
+    — the GNNExplainer benchmark (reference syn_dataset BA_shapes)."""
+    rng = np.random.default_rng(seed)
+    edges = _barabasi_albert(num_base, m, rng)
+    labels = [0] * num_base
+    motif_nodes = []
+    n = num_base
+    for _ in range(num_motifs):
+        anchor = int(rng.integers(0, num_base))
+        edges, off = _attach_motif(edges, _HOUSE, n, 5, anchor, rng)
+        labels += [1, 1, 2, 2, 3]
+        motif_nodes.append(list(range(off, off + 5)))
+        n += 5
+    return _to_graph(n, edges, labels, motif_nodes)
+
+
+def ba_community(seed: int = 0, **kw):
+    """Two BA-shapes communities with inter-community links and shifted
+    labels (reference BA_Community)."""
+    g1 = ba_shapes(seed=seed, **kw)
+    g2 = ba_shapes(seed=seed + 1, **kw)
+    n1 = g1["num_nodes"]
+    rng = np.random.default_rng(seed + 2)
+    senders = np.concatenate([g1["senders"], g2["senders"] + n1])
+    receivers = np.concatenate([g1["receivers"], g2["receivers"] + n1])
+    y = np.concatenate([g1["y"], g2["y"] + 4])
+    extra = [(int(rng.integers(0, n1)),
+              n1 + int(rng.integers(0, g2["num_nodes"])))
+             for _ in range(n1 // 100 + 1)]
+    es = np.concatenate([senders, [a for a, b in extra],
+                         [b for a, b in extra]])
+    er = np.concatenate([receivers, [b for a, b in extra],
+                         [a for a, b in extra]])
+    n = n1 + g2["num_nodes"]
+    return {"num_nodes": n, "senders": es.astype(np.int32),
+            "receivers": er.astype(np.int32), "y": y,
+            "motif_nodes": g1["motif_nodes"]
+            + [[v + n1 for v in m] for m in g2["motif_nodes"]],
+            "x": np.ones((n, 10), np.float32)}
+
+
+def _balanced_tree(height: int):
+    edges = []
+    n = 2 ** (height + 1) - 1
+    for v in range(1, n):
+        edges.append((v, (v - 1) // 2))
+    return n, edges
+
+
+def tree_cycle(height: int = 8, num_motifs: int = 60, seed: int = 0):
+    """Balanced binary tree + 6-cycles (reference Tree_Cycle)."""
+    rng = np.random.default_rng(seed)
+    n, edges = _balanced_tree(height)
+    labels = [0] * n
+    motif_nodes = []
+    base_n = n
+    for _ in range(num_motifs):
+        anchor = int(rng.integers(0, base_n))
+        edges, off = _attach_motif(edges, _CYCLE6, n, 6, anchor, rng)
+        labels += [1] * 6
+        motif_nodes.append(list(range(off, off + 6)))
+        n += 6
+    return _to_graph(n, edges, labels, motif_nodes)
+
+
+def tree_grid(height: int = 8, num_motifs: int = 60, seed: int = 0):
+    """Balanced binary tree + 3x3 grids (reference Tree_Grids)."""
+    rng = np.random.default_rng(seed)
+    n, edges = _balanced_tree(height)
+    labels = [0] * n
+    motif_nodes = []
+    base_n = n
+    for _ in range(num_motifs):
+        anchor = int(rng.integers(0, base_n))
+        edges, off = _attach_motif(edges, _GRID9, n, 9, anchor, rng)
+        labels += [1] * 9
+        motif_nodes.append(list(range(off, off + 9)))
+        n += 9
+    return _to_graph(n, edges, labels, motif_nodes)
+
+
+def _to_graph(n, edges, labels, motif_nodes):
+    s = np.array([a for a, b in edges] + [b for a, b in edges], np.int32)
+    r = np.array([b for a, b in edges] + [a for a, b in edges], np.int32)
+    return {"num_nodes": n, "senders": s, "receivers": r,
+            "y": np.asarray(labels, np.int64),
+            "motif_nodes": motif_nodes,
+            "x": np.ones((n, 10), np.float32)}
+
+
+def ba_lrp(num_graphs: int = 200, num_nodes: int = 20, seed: int = 0):
+    """BA-LRP graph-classification set (reference ba_lrp.py): class 0 = BA
+    with preferential attachment, class 1 = inverse-preferential — degree
+    statistics distinguish them."""
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for k in range(num_graphs):
+        cls = k % 2
+        deg = np.zeros(num_nodes)
+        edges = [(0, 1)]
+        deg[0] = deg[1] = 1
+        for v in range(2, num_nodes):
+            p = deg[:v] + 1e-6 if cls == 0 else 1.0 / (deg[:v] + 1)
+            p = p / p.sum()
+            t = int(rng.choice(v, p=p))
+            edges.append((v, t))
+            deg[v] += 1
+            deg[t] += 1
+        s = np.array([a for a, b in edges] + [b for a, b in edges],
+                     np.int32)
+        r = np.array([b for a, b in edges] + [a for a, b in edges],
+                     np.int32)
+        graphs.append({"num_nodes": num_nodes, "senders": s, "receivers": r,
+                       "x": np.ones((num_nodes, 1), np.float32), "y": cls})
+    return graphs
+
+
+def node_task_batch(data: Dict, n_node_pad: Optional[int] = None,
+                    n_edge_pad: Optional[int] = None) -> GraphBatch:
+    """Wrap a single node-classification graph as a one-graph batch."""
+    n = data["num_nodes"]
+    e = len(data["senders"])
+    return batch_np([{
+        "nodes": {"x": data["x"]},
+        "n_node": n,
+        "senders": data["senders"],
+        "receivers": data["receivers"],
+        "globals": {"y": np.zeros(1, np.float32)},
+    }], n_node_pad or n, n_edge_pad or e, num_graphs=1)

@@ -1,0 +1,107 @@
+"""GNNExplainer — learned soft edge + feature mask maximizing mutual
+information with the prediction.
+
+Parity with ``dig/xgraph/method/gnnexplainer.py`` (PyG-derived): optimize
+sigmoid edge mask and feature mask against cross-entropy to the target
+class plus size/entropy regularizers. The whole optimization is one jitted
+Adam loop (lax.scan) — the reference runs per-epoch eager steps.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..graph import GraphBatch
+from .base import ExplainerBase
+
+_COEFFS = {
+    "edge_size": 0.005,
+    "node_feat_size": 1.0,
+    "edge_ent": 1.0,
+    "node_feat_ent": 0.1,
+}
+
+
+class GNNExplainer(ExplainerBase):
+
+    def __init__(self, model, params, epochs: int = 100, lr: float = 0.01,
+                 explain_graph: bool = True, coffs: Optional[dict] = None):
+        super().__init__(model, params, epochs, lr, explain_graph)
+        self.coeffs = dict(_COEFFS)
+        if coffs:
+            self.coeffs.update(coffs)
+
+    def explain(self, g: GraphBatch, target_label: Optional[int] = None,
+                node_idx: Optional[int] = None, seed: int = 0,
+                mask_features: bool = True):
+        """Returns (edge_mask_logits [E], feat_mask_logits [F])."""
+        E = g.num_edges
+        F = g.nodes["x"].shape[-1]
+        model, params = self.model, self.params
+        coeffs = self.coeffs
+        row = 0 if node_idx is None else node_idx
+
+        if target_label is None:
+            probs = self.predict_proba(g)
+            target_label = int(np.argmax(np.asarray(probs)[row]))
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        # PyG init: N(1, 0.1)-ish scaled by feature size
+        e_mask0 = 0.1 * jax.random.normal(k1, (E,))
+        f_mask0 = 0.1 * jax.random.normal(k2, (F,))
+        opt = optax.adam(self.lr)
+
+        def loss_fn(masks):
+            em = jax.nn.sigmoid(masks["edge"])
+            fm = jax.nn.sigmoid(masks["feat"])
+            gx = g.replace_nodes(x=g.nodes["x"] * fm[None, :]) \
+                if mask_features else g
+            logits = model.apply(params, gx, em)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -logp[row, target_label]
+            loss += coeffs["edge_size"] * jnp.sum(em)
+            ent = -em * jnp.log(em + 1e-12) - (1 - em) * jnp.log(
+                1 - em + 1e-12)
+            loss += coeffs["edge_ent"] * jnp.mean(ent)
+            if mask_features:
+                loss += coeffs["node_feat_size"] * jnp.mean(fm)
+                fent = -fm * jnp.log(fm + 1e-12) - (1 - fm) * jnp.log(
+                    1 - fm + 1e-12)
+                loss += coeffs["node_feat_ent"] * jnp.mean(fent)
+            return loss
+
+        @jax.jit
+        def run(masks0):
+            opt_state = opt.init(masks0)
+
+            def body(carry, _):
+                masks, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(masks)
+                updates, opt_state = opt.update(grads, opt_state, masks)
+                masks = optax.apply_updates(masks, updates)
+                return (masks, opt_state), loss
+
+            (masks, _), losses = jax.lax.scan(
+                body, (masks0, opt_state), None, length=self.epochs)
+            return masks, losses
+
+        masks, losses = run({"edge": e_mask0, "feat": f_mask0})
+        edge_mask = np.asarray(masks["edge"])
+        edge_mask = np.where(np.asarray(g.edge_mask), edge_mask, -np.inf)
+        return edge_mask, np.asarray(masks["feat"])
+
+    def __call__(self, g: GraphBatch, num_classes: int = 2,
+                 sparsity: float = 0.7, node_idx: Optional[int] = None,
+                 **kwargs):
+        """Reference-call surface: per-class hard masks + related preds."""
+        edge_masks = []
+        for label in range(num_classes):
+            em, _ = self.explain(g, target_label=label, node_idx=node_idx)
+            edge_masks.append(self.control_sparsity(em, sparsity))
+        related = self.eval_related_pred(g, edge_masks, node_idx=node_idx)
+        return edge_masks, related

@@ -1,0 +1,208 @@
+"""SubgraphX — MCTS over node coalitions scored by Shapley approximations.
+
+Parity with ``dig/xgraph/method/subgraphx.py``: MCTSNode (:389) /
+MCTS.mcts_rollout (:514) / mcts (:584) searching connected subgraphs by
+pruning one node per expansion (low/high degree strategy), payoff =
+mc_l_shapley by default, ``explain`` (:756) returning the best coalition
+of at most max_nodes plus related predictions.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph import GraphBatch
+from .base import ExplainerBase
+from .shapley import (NC_mc_l_shapley, gnn_score, l_shapley, mc_l_shapley,
+                      mc_shapley, make_value_func)
+
+
+class MCTSNode:
+    def __init__(self, coalition: Tuple[int, ...], c_puct: float = 10.0):
+        self.coalition = tuple(sorted(coalition))
+        self.c_puct = c_puct
+        self.W = 0.0   # total reward
+        self.N = 0     # visit count
+        self.P = 0.0   # immediate payoff
+        self.children: List["MCTSNode"] = []
+
+    @property
+    def Q(self):
+        return self.W / self.N if self.N > 0 else 0.0
+
+    def U(self, n_total):
+        return self.c_puct * self.P * math.sqrt(n_total) / (1 + self.N)
+
+
+class MCTS:
+    """Search over coalitions of the (single real) graph in ``g``."""
+
+    def __init__(self, g: GraphBatch, score_func: Callable,
+                 n_rollout: int = 10, min_atoms: int = 3,
+                 c_puct: float = 10.0, expand_atoms: int = 14,
+                 high2low: bool = False):
+        self.g = g
+        self.score_func = score_func
+        self.n_rollout = n_rollout
+        self.min_atoms = min_atoms
+        self.c_puct = c_puct
+        self.expand_atoms = expand_atoms
+        self.high2low = high2low
+
+        nm = np.asarray(g.node_mask)
+        em = np.asarray(g.edge_mask)
+        self.nodes = np.flatnonzero(nm)
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+        self.adj: Dict[int, set] = {int(v): set() for v in self.nodes}
+        for e in np.flatnonzero(em):
+            self.adj[int(s[e])].add(int(r[e]))
+            self.adj[int(r[e])].add(int(s[e]))
+        self.root = MCTSNode(tuple(self.nodes.tolist()), c_puct)
+        self.state_map: Dict[Tuple[int, ...], MCTSNode] = {
+            self.root.coalition: self.root}
+
+    def _connected_components(self, coalition: Sequence[int]):
+        coalition = set(coalition)
+        comps = []
+        seen = set()
+        for v in coalition:
+            if v in seen:
+                continue
+            comp = {v}
+            stack = [v]
+            while stack:
+                u = stack.pop()
+                for w in self.adj[u] & coalition:
+                    if w not in comp:
+                        comp.add(w)
+                        stack.append(w)
+            seen |= comp
+            comps.append(comp)
+        return comps
+
+    def _expand(self, node: MCTSNode):
+        coalition = node.coalition
+        degs = [(v, len(self.adj[v] & set(coalition))) for v in coalition]
+        degs.sort(key=lambda t: -t[1] if self.high2low else t[1])
+        candidates = [v for v, _ in degs[:self.expand_atoms]]
+        for v in candidates:
+            rest = [u for u in coalition if u != v]
+            if not rest:
+                continue
+            comps = self._connected_components(rest)
+            main = max(comps, key=len)
+            key = tuple(sorted(main))
+            if key == coalition:
+                continue
+            if key in self.state_map:
+                child = self.state_map[key]
+                if child not in node.children:
+                    node.children.append(child)
+            else:
+                child = MCTSNode(key, self.c_puct)
+                child.P = self.score_func(list(key))
+                self.state_map[key] = child
+                node.children.append(child)
+
+    def mcts_rollout(self, node: MCTSNode) -> float:
+        if len(node.coalition) <= self.min_atoms:
+            return node.P
+        if not node.children:
+            self._expand(node)
+            if not node.children:
+                return node.P
+        n_total = sum(c.N for c in node.children)
+        best = max(node.children, key=lambda c: c.Q + c.U(max(n_total, 1)))
+        v = self.mcts_rollout(best)
+        best.W += v
+        best.N += 1
+        return v
+
+    def mcts(self, verbose: bool = False) -> List[MCTSNode]:
+        self.root.P = self.score_func(list(self.root.coalition))
+        for i in range(self.n_rollout):
+            self.mcts_rollout(self.root)
+            if verbose:
+                print(f"rollout {i + 1}: {len(self.state_map)} states")
+        explanations = sorted(self.state_map.values(),
+                              key=lambda n: (len(n.coalition), -n.P))
+        return explanations
+
+
+def find_closest_node_result(results: List[MCTSNode], max_nodes: int):
+    """Highest-payoff coalition with <= max_nodes (subgraphx.py:25-35)."""
+    feasible = [n for n in results if len(n.coalition) <= max_nodes]
+    if not feasible:
+        feasible = results
+    return max(feasible, key=lambda n: n.P)
+
+
+class SubgraphX(ExplainerBase):
+    """reference subgraphx.py:612-867."""
+
+    def __init__(self, model, params, num_classes: int = 2,
+                 explain_graph: bool = True, rollout: int = 10,
+                 min_atoms: int = 3, c_puct: float = 10.0,
+                 expand_atoms: int = 14, high2low: bool = False,
+                 local_radius: int = 4, sample_num: int = 20,
+                 reward_method: str = "mc_l_shapley",
+                 subgraph_building_method: str = "zero_filling"):
+        super().__init__(model, params, explain_graph=explain_graph)
+        self.num_classes = num_classes
+        self.rollout = rollout
+        self.min_atoms = min_atoms
+        self.c_puct = c_puct
+        self.expand_atoms = expand_atoms
+        self.high2low = high2low
+        self.local_radius = local_radius
+        self.sample_num = sample_num
+        self.reward_method = reward_method
+        self.subgraph_building_method = subgraph_building_method
+
+    def _payoff(self, g, value_func, node_idx=None):
+        m = self.reward_method
+        sb = self.subgraph_building_method
+
+        def score(coalition):
+            if m == "gnn_score":
+                return gnn_score(coalition, g, value_func, sb)
+            if m == "l_shapley":
+                return l_shapley(coalition, g, self.local_radius,
+                                 value_func, sb)
+            if m == "mc_shapley":
+                return mc_shapley(coalition, g, value_func, sb,
+                                  self.sample_num)
+            if m == "nc_mc_l_shapley":
+                return NC_mc_l_shapley(coalition, g, self.local_radius,
+                                       value_func, node_idx, sb,
+                                       self.sample_num)
+            return mc_l_shapley(coalition, g, self.local_radius,
+                                value_func, sb, self.sample_num)
+
+        return score
+
+    def explain(self, g: GraphBatch, label: int, max_nodes: int = 5,
+                node_idx: Optional[int] = None):
+        """Returns (best MCTSNode, related_pred dict for ``label``)."""
+        value_func = make_value_func(self.model, self.params, label,
+                                     node_idx)
+        score_func = self._payoff(g, value_func, node_idx)
+        mcts = MCTS(g, score_func, self.rollout, self.min_atoms,
+                    self.c_puct, self.expand_atoms, self.high2low)
+        results = mcts.mcts()
+        best = find_closest_node_result(results, max_nodes)
+
+        # hard edge mask from the coalition: edges inside it are important
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+        em = np.asarray(g.edge_mask)
+        inside = np.isin(s, best.coalition) & np.isin(r, best.coalition)
+        mask = np.where(inside & em, np.inf, -np.inf).astype(np.float32)
+        masks = [mask] * self.num_classes
+        related = self.eval_related_pred(g, masks, node_idx=node_idx)
+        # sparsity from node coalition (reference reports node sparsity)
+        n_real = int(np.asarray(g.node_mask).sum())
+        related[label]["sparsity"] = 1.0 - len(best.coalition) / max(
+            n_real, 1)
+        return best, related[label]
