@@ -1,6 +1,13 @@
 from .qm9 import QM93D
 from .md17 import MD17
 from .synthetic import synthetic_molecules
-from .loader import MoleculeLoader
+from .loader import MoleculeLoader, DenseMoleculeLoader
+from .graphs import (GraphClsLoader, synthetic_graph_dataset, load_tu_dataset,
+                     degree_onehot)
+from .proteins import (ECdataset, FOLDdataset, ProteinLoader,
+                       synthetic_proteins)
 
-__all__ = ["QM93D", "MD17", "synthetic_molecules", "MoleculeLoader"]
+__all__ = ["QM93D", "MD17", "synthetic_molecules", "MoleculeLoader", "DenseMoleculeLoader",
+           "GraphClsLoader", "synthetic_graph_dataset", "load_tu_dataset",
+           "degree_onehot", "ECdataset", "FOLDdataset", "ProteinLoader",
+           "synthetic_proteins"]

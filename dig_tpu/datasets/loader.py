@@ -70,3 +70,45 @@ class MoleculeLoader:
                 })
             yield batch_np(graphs, self.n_node_pad, n_edge_pad=1,
                            num_graphs=self.batch_size)
+
+
+class DenseMoleculeLoader:
+    """Dense per-graph minibatches ([G, n_max, ...]) — the MXU-native
+    molecular layout consumed by the *Dense models (no edge extraction)."""
+
+    def __init__(self, data, batch_size: int, n_max: Optional[int] = None,
+                 shuffle: bool = False, seed: int = 0,
+                 drop_last: Optional[bool] = None):
+        from ..graph_dense import dense_batch_np
+        self._dense_batch_np = dense_batch_np
+        self.data = list(data)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.n_max = n_max or max(len(m["z"]) for m in self.data)
+
+    def __len__(self):
+        n = len(self.data)
+        return (n // self.batch_size if self.drop_last
+                else -(-n // self.batch_size))
+
+    def __iter__(self):
+        order = np.arange(len(self.data))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            mols = [self.data[i] for i in idx]
+            globals_list = {"y": [np.atleast_1d(m["y"]) for m in mols]}
+            nodes_list = {}
+            if "force" in mols[0]:
+                nodes_list["force"] = [m["force"] for m in mols]
+            yield self._dense_batch_np(
+                [m["z"] for m in mols], [m["pos"] for m in mols],
+                self.n_max, num_graphs=self.batch_size,
+                globals_list=globals_list,
+                nodes_list=nodes_list or None)

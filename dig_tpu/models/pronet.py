@@ -1,0 +1,202 @@
+"""ProNet — complete 3D graph networks for protein representations.
+
+Parity with ``dig/threedgraph/method/pronet/pronet.py:256-473``: amino-acid
+/ backbone / all-atom levels; radius graph over C-alpha coordinates with a
+per-node neighbor cap; geometry features (d, theta, phi) from sequential
+reference residues, plus either the rotation-invariant tau (aminoacid) or
+backbone-frame Euler angles (backbone/allatom); sequence-offset positional
+embeddings; three EdgeGraphConv streams per interaction block.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphBatch
+from ..ops import segment_sum
+from ..ops.basis import bessel_table, sph_full_table, sph_m0_table
+from ..ops.radius import radius_graph_flat
+from ..ops.triplets import edge_distances
+from .comenet import EdgeGraphConv, TwoLayerLinear, swish
+
+xavier = jax.nn.initializers.glorot_uniform()
+
+NUM_AA_TYPE = 26
+NUM_BB_EMBS = 6
+NUM_SIDE_CHAIN_EMBS = 8
+
+
+def _safe_atan2(b, a):
+    deg = (a * a + b * b) < 1e-12
+    a = jnp.where(deg, 1.0, a)
+    b = jnp.where(deg, 0.0, b)
+    # snap tiny |b| to 0: anti-parallel planes otherwise flip between
+    # +pi and -pi on fp noise (see comenet.py)
+    b = jnp.where(jnp.abs(b) < 1e-5 * jnp.abs(a), 0.0, b)
+    return jnp.arctan2(b, a)
+
+
+def _cross_norm(v):
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), 1e-12))
+
+
+class ProNetInteraction(nn.Module):
+    """pronet.py:150-254."""
+
+    hidden: int
+    mid_emb: int
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, feature0, feature1, pos_emb, senders, receivers,
+                 edge_mask, g: GraphBatch):
+        N = g.num_nodes
+        f0 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(feature0)
+        f1 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(feature1)
+        f2 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(pos_emb)
+        h = swish(nn.Dense(self.hidden, kernel_init=xavier)(x))
+        h0 = swish(nn.Dense(self.hidden, kernel_init=xavier)(
+            EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
+                                       f0, N)))
+        h1 = swish(nn.Dense(self.hidden, kernel_init=xavier)(
+            EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
+                                       f1, N)))
+        h2 = swish(nn.Dense(self.hidden, kernel_init=xavier)(
+            EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
+                                       f2, N)))
+        out = jnp.concatenate([h0, h1, h2], axis=-1)
+        for li in range(self.num_layers):
+            out = swish(nn.Dense(self.hidden, kernel_init=xavier)(out))
+        out = out + swish(nn.Dense(self.hidden, kernel_init=xavier)(x))
+        for _ in range(self.num_layers - 1):
+            out = swish(nn.Dense(self.hidden, kernel_init=xavier)(out))
+        return nn.Dense(self.hidden, kernel_init=xavier)(out)
+
+
+class ProNet(nn.Module):
+    """Defaults mirror pronet.py:278-296. Node fields in the GraphBatch:
+    ``z`` (residue type), ``pos`` (C-alpha), and for backbone/allatom
+    levels ``pos_n``/``pos_c`` (N, C coordinates), ``bb_embs`` and
+    ``side_chain_embs``."""
+
+    level: str = "aminoacid"
+    num_blocks: int = 4
+    hidden_channels: int = 128
+    out_channels: int = 1
+    mid_emb: int = 64
+    num_radial: int = 6
+    num_spherical: int = 2
+    cutoff: float = 10.0
+    max_num_neighbors: int = 32
+    int_emb_layers: int = 3
+    out_layers: int = 2
+    num_pos_emb: int = 16
+    max_edges: int = 8192
+
+    @nn.compact
+    def __call__(self, g: GraphBatch):
+        z = g.nodes["z"]
+        pos = g.nodes["pos"]
+        N = g.num_nodes
+
+        if self.level == "aminoacid":
+            x = nn.Embed(NUM_AA_TYPE, self.hidden_channels)(z)
+        else:
+            feats = [jax.nn.one_hot(z, NUM_AA_TYPE),
+                     g.nodes["bb_embs"]]
+            if self.level == "allatom":
+                feats.append(g.nodes["side_chain_embs"])
+            x = nn.Dense(self.hidden_channels, kernel_init=xavier)(
+                jnp.concatenate(feats, -1))
+        x = jnp.where(g.node_mask[:, None], x, 0.0)
+
+        senders, receivers, edge_mask = radius_graph_flat(
+            pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges,
+            max_num_neighbors=self.max_num_neighbors)
+        j, i = senders, receivers
+        dist = edge_distances(pos, senders, receivers, edge_mask)
+        E = senders.shape[0]
+
+        # sequence-offset positional embedding (pronet.py pos_emb)
+        offset = (i - j).astype(jnp.float32)
+        freqs = jnp.exp(jnp.arange(0, self.num_pos_emb, 2)
+                        * -(np.log(10000.0) / self.num_pos_emb))
+        ang = offset[:, None] * freqs[None, :]
+        pos_emb = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], -1)
+
+        # theta/phi from sequential reference residues (pronet.py:395-409)
+        refi0 = (i - 1) % N
+        refi1 = (i + 1) % N
+        v_ji = pos[j] - pos[i]
+        v_ref0 = pos[refi0] - pos[i]
+        a = jnp.sum(v_ji * v_ref0, -1)
+        b = _cross_norm(jnp.cross(v_ji, v_ref0))
+        theta = _safe_atan2(b, a)
+        plane1 = jnp.cross(v_ref0, pos[refi1] - pos[i])
+        plane2 = jnp.cross(v_ref0, v_ji)
+        a = jnp.sum(plane1 * plane2, -1)
+        b = (jnp.sum(jnp.cross(plane1, plane2) * v_ref0, -1)
+             / jnp.maximum(_cross_norm(v_ref0), 1e-9))
+        phi = _safe_atan2(b, a)
+
+        n, k = self.num_spherical, self.num_radial
+        rbf = bessel_table(n, k, dist / self.cutoff)
+        cbf_full = sph_full_table(n, theta, phi).reshape(-1, n, n)
+        feature0 = (cbf_full[:, :, :, None]
+                    * rbf[:, None, :, :]).reshape(E, n * n * k)
+        feature0 = jnp.where(edge_mask[:, None], feature0, 0.0)
+
+        def d_angle(angle):
+            cbf = sph_m0_table(n, angle)
+            return (rbf * cbf[:, :, None]).reshape(E, n * k)
+
+        if self.level == "aminoacid":
+            # tau between sequential planes (pronet.py:435-448)
+            refi = jnp.where(refi0 == j, refi1, refi0)
+            refj0 = (j - 1) % N
+            refj1 = (j + 1) % N
+            refj = jnp.where(refj0 == i, refj1, refj0)
+            p1 = jnp.cross(v_ji, pos[refi] - pos[i])
+            p2 = jnp.cross(v_ji, pos[refj] - pos[j])
+            a = jnp.sum(p1 * p2, -1)
+            b = (jnp.sum(jnp.cross(p1, p2) * v_ji, -1)
+                 / jnp.maximum(dist, 1e-9))
+            tau = _safe_atan2(b, a)
+            feature1 = d_angle(tau)
+        else:
+            # backbone-frame Euler angles (pronet.py:411-433)
+            pos_n = g.nodes["pos_n"]
+            pos_c = g.nodes["pos_c"]
+            o1x = pos_n[i] - pos[i]
+            o1z = jnp.cross(o1x, jnp.cross(o1x, pos_c[i] - pos[i]))
+            o1zl = _cross_norm(o1z) + 1e-7
+            o2x = pos_n[j] - pos[j]
+            o2z = jnp.cross(o2x, jnp.cross(o2x, pos_c[j] - pos[j]))
+            o2zl = _cross_norm(o2z) + 1e-7
+            nvec = jnp.cross(o1z, o2z)
+            angle1 = _safe_atan2(
+                jnp.sum(jnp.cross(o1x, nvec) * o1z, -1) / o1zl,
+                jnp.sum(o1x * nvec, -1))
+            angle2 = _safe_atan2(_cross_norm(jnp.cross(o1z, o2z)),
+                                 jnp.sum(o1z * o2z, -1))
+            angle3 = _safe_atan2(
+                jnp.sum(jnp.cross(nvec, o2x) * o2z, -1) / o2zl,
+                jnp.sum(nvec * o2x, -1))
+            feature1 = jnp.concatenate(
+                [d_angle(angle1), d_angle(angle2), d_angle(angle3)], -1)
+        feature1 = jnp.where(edge_mask[:, None], feature1, 0.0)
+
+        for _ in range(self.num_blocks):
+            x = ProNetInteraction(self.hidden_channels, self.mid_emb,
+                                  self.int_emb_layers)(
+                x, feature0, feature1, pos_emb, senders, receivers,
+                edge_mask, g)
+            x = jnp.where(g.node_mask[:, None], x, 0.0)
+
+        y = segment_sum(x, g.node_graph, g.num_graphs, mask=g.node_mask)
+        for _ in range(self.out_layers):
+            y = jax.nn.relu(nn.Dense(self.hidden_channels,
+                                     kernel_init=xavier)(y))
+        return nn.Dense(self.out_channels, kernel_init=xavier)(y)

@@ -34,13 +34,15 @@ class MLP(nn.Module):
     act_last: bool = False
     use_bias: bool = True
     kernel_init: Callable = jax.nn.initializers.glorot_uniform()
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
             x = nn.Dense(f, use_bias=self.use_bias,
                          kernel_init=self.kernel_init,
-                         bias_init=jax.nn.initializers.zeros)(x)
+                         bias_init=jax.nn.initializers.zeros,
+                         dtype=self.dtype)(x)
             if i < len(self.features) - 1 or self.act_last:
                 x = self.act(x)
         return x

@@ -92,3 +92,15 @@ def segment_normalize(data: Array, segment_ids: Array, num_segments: int,
     """Divide each row by its segment's sum (e.g. GCN-style normalization)."""
     s = segment_sum(data, segment_ids, num_segments, mask)
     return data / (s[segment_ids] + eps)
+
+
+def segment_argmin(data: Array, segment_ids: Array, num_segments: int,
+                   mask: Optional[Array] = None) -> Array:
+    """First index attaining the per-segment minimum (torch
+    scatter_min-style argmin; empty segments return 0)."""
+    d = _apply_mask(data, mask, _POS_INF)
+    m = jax.ops.segment_min(d, segment_ids, num_segments=num_segments)
+    E = data.shape[0]
+    idx = jnp.where(d <= m[segment_ids], jnp.arange(E), E)
+    out = jax.ops.segment_min(idx, segment_ids, num_segments=num_segments)
+    return jnp.where(out >= E, 0, out).astype(jnp.int32)

@@ -144,3 +144,45 @@ def test_force_training_decreases(tiny_batch):
         losses.append(float(aux["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_comenet_forward_and_invariance(tiny_batch):
+    from dig_tpu.models import ComENet
+    mols, g = tiny_batch
+    model = ComENet(cutoff=4.0, num_layers=2, hidden_channels=32,
+                    middle_channels=16, max_edges=256)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+    out0 = np.asarray(model.apply(params, g))
+    assert out0.shape == (4, 1) and np.all(np.isfinite(out0))
+    # rotation + translation invariance (proper rotation: det=+1 — the
+    # phi/tau features are chirality-sensitive, as in the reference)
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    pos2 = np.asarray(g.nodes["pos"]) @ Q.astype(np.float32).T + 1.5
+    g2 = g.replace(nodes={**g.nodes, "pos": jnp.asarray(pos2)})
+    out1 = np.asarray(model.apply(params, g2))
+    np.testing.assert_allclose(out0, out1, rtol=1e-3, atol=1e-3)
+
+
+def test_pronet_levels_and_training():
+    from dig_tpu.datasets import ProteinLoader, synthetic_proteins
+    from dig_tpu.models import ProNet
+    prots = synthetic_proteins(8, seed=0, max_res=12)
+    loader = ProteinLoader(prots, 4)
+    g = next(iter(loader))
+    for level in ("aminoacid", "backbone", "allatom"):
+        model = ProNet(level=level, num_blocks=1, hidden_channels=24,
+                       mid_emb=12, out_channels=4, max_edges=512)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+        out = model.apply(params, g)
+        assert out.shape == (4, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+    # gradient flows through the geometry
+    model = ProNet(level="aminoacid", num_blocks=1, hidden_channels=24,
+                   mid_emb=12, out_channels=4, max_edges=512)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+    grads = jax.grad(lambda p: jnp.sum(model.apply(p, g)))(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
