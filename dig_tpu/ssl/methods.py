@@ -157,3 +157,16 @@ class pGRACE(Contrastive):
         super().__init__(objective="NCE", views_fn=[v1, v2],
                          graph_level=False, node_level=True,
                          z_n_dim=dim, proj_n="MLP", **kwargs)
+
+
+class NodeMVGRL(MVGRL):
+    """Node-level MVGRL (reference node_mvgrl.py): same two-view JSE
+    contrast but with corruption negatives and subgraph-sampled diffusion
+    views for large graphs."""
+
+    def __init__(self, g_dim: int, n_dim: int, sample_size: int = 2000,
+                 diffusion_type: str = "ppr", alpha: float = 0.2,
+                 t: float = 5.0, **kwargs):
+        super().__init__(g_dim, n_dim, diffusion_type, alpha, t,
+                         neg_by_crpt=True, **kwargs)
+        self.sample_size = sample_size

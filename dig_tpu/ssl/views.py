@@ -256,3 +256,22 @@ class SequentialView:
         for k, v in zip(keys, self.views):
             g = v(k, g)
         return g
+
+
+class DiffusionWithSample:
+    """Subgraph sampling + diffusion for node-level MVGRL on large graphs
+    (reference structure.py:178-270): sample ``sample_size`` nodes, keep
+    the induced subgraph, return it with its dense diffusion matrix."""
+
+    def __init__(self, sample_size: int = 2000, mode: str = "ppr",
+                 alpha: float = 0.2, t: float = 5.0,
+                 add_self_loop: bool = True):
+        self.sample_size = sample_size
+        self.diffusion = Diffusion(mode, alpha, t, add_self_loop)
+
+    def __call__(self, key, g: GraphBatch):
+        scores = jax.random.uniform(key, (g.num_nodes,))
+        rank = _rank_in_graph(scores, g.node_graph, g.node_mask)
+        keep = g.node_mask & (rank < self.sample_size)
+        g2 = _drop_edges_for_nodes(g, keep)
+        return self.diffusion(None, g2)

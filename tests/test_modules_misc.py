@@ -125,3 +125,56 @@ def test_compute_mmd():
     b = rng.normal(0, 1, 200)
     c = rng.normal(3, 1, 200)
     assert compute_mmd(a, b) < compute_mmd(a, c)
+
+
+def test_config_system(tmp_path):
+    from dig_tpu import Config
+    p = tmp_path / "conf.yaml"
+    p.write_text("""
+model:
+  hidden: 128
+  layers: 4
+train:
+  lr: 5e-4
+  use_force: true
+  names: [a, b]
+""")
+    cfg = Config.load(str(p), overrides=["train.lr=1e-3", "model.extra=7"])
+    assert cfg.model.hidden == 128
+    assert cfg.train.lr == 1e-3
+    assert cfg.train.use_force is True
+    assert cfg.model.extra == 7
+    assert cfg.train.names == ["a", "b"]
+    out = tmp_path / "out.yaml"
+    cfg.save(str(out))
+    cfg2 = Config.load(str(out))
+    assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_graphdf_const_prop_opt():
+    from dig_tpu.chem import mol_from_smiles
+    from dig_tpu.ggraph import (DenseMolLoader, GraphDF,
+                                ConstPropOptEvaluator,
+                                synthetic_smiles_dataset)
+    ds = synthetic_smiles_dataset(repeat=1)
+    loader = DenseMolLoader(ds, 16, shuffle=True)
+    conf = dict(max_size=9, edge_unroll=4, node_dim=4, bond_dim=4,
+                num_flow_layer=2, num_rgcn_layer=2, nhid=24, nout=24)
+    df = GraphDF()
+    df.train_rand_gen(loader, 1e-3, 0, 1, conf, verbose=False)
+    seeds = [mol_from_smiles(s) for s in ("CCO", "CCC")]
+    df.train_const_prop_opt(seeds, n_iters=1)
+    mods = df.run_const_prop_opt(seeds, n_extra_atoms=2)
+    assert len(mods) == 2
+    res = ConstPropOptEvaluator().eval(
+        {"inp_smiles": ["CCO", "CCC"], "mols_0": mods})
+    assert 0 in res
+
+
+def test_xgraph_model_manager():
+    from dig_tpu.datasets import synthetic_graph_dataset
+    from dig_tpu.xgraph.model_manager import load_model, train_gnn
+    data = synthetic_graph_dataset(30, seed=0)
+    model = load_model("GIN_2l", dim_hidden=16, num_classes=2)
+    params, acc = train_gnn(model, data, epochs=5, batch_size=10)
+    assert 0.0 <= acc <= 1.0
