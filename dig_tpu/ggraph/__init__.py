@@ -19,10 +19,12 @@ from .dataset import DenseMolDataset, DenseMolLoader, synthetic_smiles_dataset
 from .evaluation import (RandGenEvaluator, PropOptEvaluator,
                          ConstPropOptEvaluator)
 from .methods import GraphDF, GraphAF, GraphEBM
+from .jtvae import JTVAE, Vocab, MolTree, tree_decomp
 
 __all__ = [
     "Generator", "DenseMolDataset", "DenseMolLoader",
     "synthetic_smiles_dataset",
     "RandGenEvaluator", "PropOptEvaluator", "ConstPropOptEvaluator",
     "GraphDF", "GraphAF", "GraphEBM",
+    "JTVAE", "Vocab", "MolTree", "tree_decomp",
 ]

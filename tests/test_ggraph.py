@@ -117,3 +117,31 @@ def test_const_prop_opt_evaluator():
         {"inp_smiles": inp, "mols_0": out, "mols_2": out})
     assert 0 in res and 2 in res
     assert res[0]["success_rate"] == 100.0
+
+
+def test_jtvae_tree_decomp():
+    from dig_tpu.ggraph import tree_decomp
+    m = mol_from_smiles("CC(=O)Oc1ccccc1C(=O)O")
+    t = tree_decomp(m)
+    # spanning tree over a connected molecule
+    assert len(t.edges) == len(t.cliques) - 1
+    # every atom covered by some clique
+    covered = set(a for c in t.cliques for a in c)
+    assert covered == set(range(m.num_atoms))
+    # ring captured as one clique of size >= 6
+    assert any(len(c) >= 6 for c in t.cliques)
+
+
+def test_jtvae_train_generate_reconstruct():
+    from dig_tpu.chem import check_valency
+    from dig_tpu.ggraph import JTVAE
+    smiles = ["CCO", "CCN", "CCC", "CC=O", "C1CC1", "c1ccccc1",
+              "CC(C)O", "CC(N)=O", "CCOC", "CNC"] * 2
+    jt = JTVAE(hidden=24, latent=12)
+    hist = jt.train_rand_gen(smiles, batch_size=8, epochs=2, verbose=False)
+    assert np.isfinite(hist).all() and hist[-1] <= hist[0] + 0.5
+    mols = jt.run_rand_gen(n_mols=4)
+    assert len(mols) == 4
+    assert all(check_valency(m) for m in mols if m.num_atoms)
+    rec = jt.reconstruct("CCO")
+    assert rec is not None and rec.num_atoms >= 1
