@@ -24,6 +24,8 @@ from .mesh import (
 from .partition import partition_graph, PartitionedGraph, build_partitions
 from .halo import halo_exchange_sum, partitioned_spmm, build_exchange_plan
 from .dp import make_dp_train_step, make_dp_eval_step
+from .gp import (GPGraph, prepare_gp_graph, slab_layout,
+                 make_gp_train_step)
 
 __all__ = [
     "make_mesh", "shard_graph_batch", "replicate", "data_parallel_sharding",
@@ -31,4 +33,5 @@ __all__ = [
     "partition_graph", "PartitionedGraph", "build_partitions",
     "halo_exchange_sum", "partitioned_spmm", "build_exchange_plan",
     "make_dp_train_step", "make_dp_eval_step",
+    "GPGraph", "prepare_gp_graph", "slab_layout", "make_gp_train_step",
 ]

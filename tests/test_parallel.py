@@ -154,3 +154,27 @@ def test_halo_exchange_matches_dense(mesh):
         p, c = divmod(int(new_id[v]), C)
         got[v] = out[p, c]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_graph_parallel_training(mesh):
+    """Partitioned GCN with halo all-to-all learns on the 8-device mesh."""
+    from dig_tpu.lsgraph import synthetic_large_graph
+    from dig_tpu.parallel import (make_gp_train_step, prepare_gp_graph,
+                                  slab_layout)
+    data = synthetic_large_graph(400, seed=0)
+    s, r, x, y = data["senders"], data["receivers"], data["x"], data["y"]
+    N = len(y)
+    gp, perm, H, C = prepare_gp_graph(s, r, N, N_DEV)
+    xs = jnp.asarray(slab_layout(x, perm, N_DEV, C))
+    ys = jnp.asarray(slab_layout(y, perm, N_DEV, C))
+    tm = jnp.asarray(slab_layout(data["train_mask"], perm, N_DEV, C))
+    te = slab_layout(data["test_mask"], perm, N_DEV, C)
+    init_fn, step, _ = make_gp_train_step(mesh, 2, 32, 4, x.shape[1], H, C,
+                                          lr=1e-2)
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    for _ in range(50):
+        params, opt_state, loss, logits = step(params, opt_state, gp, xs,
+                                               ys, tm)
+    pred = np.argmax(np.asarray(logits), -1)
+    acc = float((pred[te] == np.asarray(ys)[te]).mean())
+    assert acc > 0.7
