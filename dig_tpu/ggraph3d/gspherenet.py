@@ -379,17 +379,20 @@ class GSphereNet:
                     "receivers": np.zeros(0, np.int32),
                     "globals": {},
                 }], pad, 1, num_graphs=1)
-                # pick focus among previously placed atoms (prefer recent)
                 n_cur = len(types)
-                # choose c1/c2 hierarchy: focus = candidate, c1 = nearest
-                # other atom to focus, c2 = nearest other to c1
                 lz = rng.normal(0, temperature[0], (1, T)).astype(np.float32)
                 ld = rng.normal(0, temperature[1], (1, 1)).astype(np.float32)
                 la = rng.normal(0, temperature[2], (1, 1)).astype(np.float32)
                 lt = rng.normal(0, temperature[3], (1, 1)).astype(np.float32)
-                # focus scoring on current canvas
-                focus_candidates = list(range(n_cur))
-                f = int(rng.choice(focus_candidates))
+                # focus = argmax of the trained focus scores over the
+                # current canvas (reference sphgen.py:110-130 thresholds
+                # sigmoid scores; sampling proportional to score here)
+                fs0, *_ = stepf(params, g, jnp.asarray([0]),
+                                jnp.asarray([0]), jnp.asarray([0]),
+                                jnp.asarray([0]))
+                fscore0 = np.asarray(jax.nn.sigmoid(fs0))[:n_cur]
+                p_focus = fscore0 / max(fscore0.sum(), 1e-9)
+                f = int(rng.choice(n_cur, p=p_focus))
                 if n_cur == 1:
                     c1 = c2 = 0
                 else:

@@ -79,6 +79,13 @@ class Contrastive:
             return nce_loss(zs, zs_n, batch, tau=self.tau,
                             graph_mask=graph_mask, node_mask=node_mask)
         if self.objective == "JSE":
+            if self.neg_by_crpt and zs is not None and zs_n is not None:
+                from .objectives import jse_local_global_neg_paired
+                loss = 0.0
+                for zg, zn in zip(zs, zs_n):
+                    loss += jse_local_global_neg_paired(
+                        zg, zn, batch, graph_mask, node_mask)
+                return loss
             return jse_loss(zs, zs_n, batch, graph_mask=graph_mask,
                             node_mask=node_mask)
         raise ValueError(self.objective)

@@ -188,3 +188,32 @@ def jse_loss(zs: Optional[List[Array]] = None,
         if sigma is None or sigma[i][j]:
             loss += jse_global_global(zs[i], zs[j], graph_mask)
     return loss
+
+
+def jse_local_global_neg_paired(z_g, z_n, node_graph,
+                                graph_mask=None, node_mask=None):
+    """JSE with corruption negatives (jse.py:67-97): the first halves of
+    z_g / z_n are clean, the second halves corrupted; positives pair each
+    graph with its own clean nodes, negatives with its corrupted nodes."""
+    G2 = z_g.shape[0]
+    N2 = z_n.shape[0]
+    G, N = G2 // 2, N2 // 2
+    zg = z_g[:G]
+    zn, zn_c = z_n[:N], z_n[N:]
+    own = jax.nn.one_hot(node_graph[:N], G, dtype=bool)
+    valid = jnp.ones((N, G), bool)
+    if node_mask is not None:
+        valid &= node_mask[:N, None]
+    if graph_mask is not None:
+        valid &= graph_mask[None, :G]
+    mask = own & valid
+    d_pos = zn @ zg.T
+    d_neg = zn_c @ zg.T
+    n_pairs = jnp.maximum(jnp.sum(mask), 1)
+    # BCE with logits: pos label 1, neg label 0 (reference uses
+    # BCEWithLogitsLoss over the concatenated scores)
+    pos_ls = jax.nn.softplus(-d_pos)
+    neg_ls = jax.nn.softplus(d_neg)
+    loss = (jnp.sum(jnp.where(mask, pos_ls, 0.0))
+            + jnp.sum(jnp.where(mask, neg_ls, 0.0))) / (2 * n_pairs)
+    return 0.5 * loss

@@ -189,3 +189,26 @@ def test_degree_onehot():
     for g in data:
         assert g["x"].shape[0] == g["num_nodes"]
         np.testing.assert_allclose(g["x"].sum(1), 1.0)
+
+
+def test_node_mvgrl_and_diffusion_sample():
+    from dig_tpu.ssl import DiffusionWithSample, NodeMVGRL
+    data = synthetic_graph_dataset(8, seed=5)
+    g = next(iter(GraphClsLoader(data, 4)))
+    # subgraph-sampled diffusion view
+    dws = DiffusionWithSample(sample_size=5)
+    g2, S = dws(jax.random.PRNGKey(0), g)
+    kept = np.asarray(
+        jax.ops.segment_sum(g2.node_mask.astype(jnp.int32), g.node_graph,
+                            num_segments=g.num_graphs))
+    assert np.all(kept <= 5)
+    assert np.all(np.isfinite(np.asarray(S)))
+    # NodeMVGRL trains with corruption negatives
+    import optax
+    mv = NodeMVGRL(g_dim=32, n_dim=16)
+    encs = [Encoder(feat_dim=8, hidden_dim=16, n_layers=2, gnn="gcn",
+                    node_level=True, graph_level=True),
+            mv.make_diffusion_encoder(hidden_dim=16, n_layers=2)]
+    loader = GraphClsLoader(data, 4, shuffle=True)
+    res = list(mv.train(encs, loader, optax.adam(0.01), 2))[-1]
+    assert np.isfinite(res["loss"])
