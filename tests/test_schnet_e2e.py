@@ -81,3 +81,43 @@ def test_evaluator():
     ev = ThreeDEvaluator()
     out = ev.eval({"y_true": np.zeros((5, 1)), "y_pred": np.ones((5, 1))})
     assert out["mae"] == 1.0
+
+
+def test_run3d_driver(tmp_path):
+    """Full Run3D epoch driver: train/val/test loop, best-valid orbax
+    checkpointing, metrics logging."""
+    from dig_tpu.threed import Run3D
+    mols = synthetic_molecules(24, seed=5, max_atoms=10, num_targets=1)
+    model = SchNet(cutoff=3.0, num_layers=1, hidden_channels=16,
+                   num_filters=16, num_gaussians=8, max_edges=256)
+    res = Run3D().run(mols[:16], mols[16:20], mols[20:], model,
+                      ThreeDEvaluator(), epochs=2, batch_size=8,
+                      vt_batch_size=4, lr=1e-3, n_node_pad=80,
+                      save_dir=str(tmp_path / "ckpt"),
+                      log_dir=str(tmp_path / "logs"), quiet=True)
+    assert np.isfinite(res["best_valid"])
+    assert np.isfinite(res["best_test"])
+    import os
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    from dig_tpu.train.checkpoint import Checkpointer, partial_restore
+    mols = synthetic_molecules(4, seed=6, max_atoms=8)
+    loader = MoleculeLoader(mols, 4, n_node_pad=32)
+    model = SchNet(cutoff=3.0, num_layers=1, hidden_channels=8,
+                   num_filters=8, num_gaussians=4, max_edges=64)
+    g = next(iter(loader))
+    opt = optax.adam(1e-3)
+    state = make_train_state(model, opt, g)
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(state, step=1)
+    restored = ck.restore(template=state)
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(restored.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y)
+    # partial restore copies matching leaves
+    merged = partial_restore(state.params, restored.params)
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(state.params)
