@@ -106,6 +106,16 @@ class GraphDF(Generator):
                                f"rand_gen_ckpt_{epoch}.pkl"), "wb") as f:
             pickle.dump(jax.device_get(params), f)
 
+    def load_ckpt(self, path: str, model_conf_dict: Optional[Dict] = None):
+        """Restore pickled parameters (pair of ``_save``); pass the model
+        config when the model was not yet built."""
+        import pickle
+        if model_conf_dict is not None:
+            self.get_model("rand_gen", model_conf_dict)
+        with open(path, "rb") as f:
+            self.params = pickle.load(f)
+        return self.params
+
     # -- generation -------------------------------------------------------
     def run_rand_gen(self, model_conf_dict: Optional[Dict] = None,
                      checkpoint_path=None, n_mols: int = 100,

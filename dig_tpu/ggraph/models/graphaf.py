@@ -183,6 +183,21 @@ class GraphFlowModelAF(nn.Module):
         z, logdet = self.__call__(x, adj, rng)
         return self.log_prob(z, logdet)
 
+    def nll(self, x, adj):
+        """Per-sample NLL with deterministic mid-bin dequantization (for
+        the REINFORCE fine-tune, which needs rng-free reward weighting)."""
+        li = self.masks.link_index
+        adj_deq = jnp.transpose(adj[:, :, li[:, 1], li[:, 0]], (0, 2, 1))
+        x_deq = x + 0.5 * self.deq_coeff
+        adj_deq = adj_deq + 0.5 * self.deq_coeff
+        (zn, ze), (ldn, lde) = self.flow_core(x, adj, x_deq, adj_deq)
+        node_len = self.max_size * self.node_dim
+        edge_len = self.masks.num_edge_steps * self.bond_dim
+        ll = (-0.5 * (jnp.log(2 * jnp.pi) + zn ** 2).sum(axis=(1, 2))
+              - 0.5 * (jnp.log(2 * jnp.pi) + ze ** 2).sum(axis=(1, 2))
+              + ldn + lde)
+        return -ll / (node_len + edge_len)
+
     def reverse_node(self, x, adj, latent):
         return self.flow_core.reverse_node(x, adj, latent)
 

@@ -145,3 +145,21 @@ def test_jtvae_train_generate_reconstruct():
     assert all(check_valency(m) for m in mols if m.num_atoms)
     rec = jt.reconstruct("CCO")
     assert rec is not None and rec.num_atoms >= 1
+
+
+def test_graphaf_prop_opt_and_ckpt(tiny_conf, loader, tmp_path):
+    from dig_tpu.ggraph import GraphAF
+    ds, ld = loader
+    af = GraphAF()
+    af.train_rand_gen(ld, lr=1e-3, wd=0, max_epochs=1,
+                      model_conf_dict=tiny_conf, verbose=False,
+                      save_dir=str(tmp_path))
+    # REINFORCE fine-tune exercises GraphAF's per-sample nll
+    af.train_prop_opt(prop="plogp", n_iters=1, batch_size=3,
+                      temperature=0.75)
+    # checkpoint round trip
+    af2 = GraphAF()
+    af2.load_ckpt(str(tmp_path / "rand_gen_ckpt_1.pkl"),
+                  model_conf_dict=tiny_conf)
+    mols, _ = af2.run_rand_gen(n_mols=2, temperature=0.75)
+    assert len(mols) == 2
