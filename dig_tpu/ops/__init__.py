@@ -15,13 +15,13 @@ from .segment import (
     segment_argmin,
 )
 from .scatter import gather, scatter_sum_edges, coalesce_mean
-from .radius import radius_graph_flat, knn_graph_flat
+from .radius import radius_graph_flat, knn_graph_flat, radius_overflow
 from .triplets import build_triplets, triplet_geometry, torsion_angles
 
 __all__ = [
     "segment_sum", "segment_mean", "segment_max", "segment_min",
     "segment_softmax", "segment_normalize", "segment_argmin",
     "gather", "scatter_sum_edges", "coalesce_mean",
-    "radius_graph_flat", "knn_graph_flat",
+    "radius_graph_flat", "knn_graph_flat", "radius_overflow",
     "build_triplets", "triplet_geometry", "torsion_angles",
 ]

@@ -86,3 +86,13 @@ def adjacency_to_edges(adj: Array, max_edges: int):
     receivers = jnp.where(edge_mask, i_idx, 0)
     senders = jnp.where(edge_mask, j_idx, 0)
     return senders, receivers, edge_mask
+
+
+def radius_overflow(pos: Array, node_graph: Array, node_mask: Array,
+                    cutoff: float, max_edges: int) -> Array:
+    """Number of real radius-graph edges DROPPED by the static cap
+    (overflow accounting for the silent-drop hazard of static shapes —
+    SURVEY §7 hard part 1). jit-safe scalar."""
+    d2, valid = _pairwise_same_graph(pos, node_graph, node_mask)
+    total = jnp.sum(valid & (d2 < cutoff * cutoff))
+    return jnp.maximum(total - max_edges, 0)

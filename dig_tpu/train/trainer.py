@@ -172,12 +172,16 @@ class Run3D:
         # inside the model, so the host loader can't know the count).
         cutoff = getattr(model, "cutoff", None)
 
+        max_edges = getattr(model, "max_edges", None)
+
         @jax.jit
         def count_edges(g: GraphBatch):
             from ..ops.radius import _pairwise_same_graph
             d2, valid = _pairwise_same_graph(
                 g.nodes["pos"], g.node_graph, g.node_mask)
             return jnp.sum(valid & (d2 < cutoff * cutoff))
+
+        overflow_warned = False
         best_valid = float("inf")
         best_test = float("inf")
 
@@ -192,7 +196,17 @@ class Run3D:
             for g in train_loader:
                 state, aux = train_step(state, g)
                 losses.append(aux["loss"])
-                tp.update(int(count_edges(g)) if cutoff else 0)
+                if cutoff:
+                    n_edges = int(count_edges(g))
+                    tp.update(n_edges)
+                    # overflow accounting: static caps silently drop edges
+                    # (SURVEY §7 hard part 1) — surface it once
+                    if (max_edges and n_edges > max_edges
+                            and not overflow_warned):
+                        print(f"WARNING: batch has {n_edges} radius edges "
+                              f"> model.max_edges={max_edges}; overflow is "
+                              "dropped — raise max_edges", flush=True)
+                        overflow_warned = True
             train_loss = float(np.mean(jax.device_get(losses)))
 
             valid_mae = evaluate(state, eval_step, valid_loader, evaluator,
