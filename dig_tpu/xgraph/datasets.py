@@ -178,3 +178,54 @@ def node_task_batch(data: Dict, n_node_pad: Optional[int] = None,
         "receivers": data["receivers"],
         "globals": {"y": np.zeros(1, np.float32)},
     }], n_node_pad or n, n_edge_pad or e, num_graphs=1)
+
+
+def molecule_dataset(root: str, name: str = "bbbp",
+                     smiles_col: str = "smiles",
+                     label_col: str = "p_np",
+                     limit: Optional[int] = None) -> List[Dict]:
+    """Molecular explanation datasets (reference
+    ``dig/xgraph/dataset/mol_dataset.py``: BBBP/Tox21/BACE/ClinTox):
+    parse the cached csv's SMILES with the dig_tpu chem kernel into
+    graph-classification dicts (atom-type one-hot + degree features)."""
+    import csv as _csv
+    import os
+    from ..chem import mol_from_smiles
+
+    path = None
+    for cand in (f"{root}/{name}.csv", f"{root}/{name}/raw/{name}.csv",
+                 f"{root}/{name.upper()}.csv"):
+        if os.path.exists(cand):
+            path = cand
+            break
+    if path is None:
+        raise FileNotFoundError(
+            f"{name}.csv not found under {root} (no egress; stage the "
+            "MoleculeNet csv there)")
+    atom_types = [1, 5, 6, 7, 8, 9, 14, 15, 16, 17, 35, 53]
+    z_idx = {z: i for i, z in enumerate(atom_types)}
+    graphs = []
+    with open(path) as f:
+        for row in _csv.DictReader(f):
+            try:
+                mol = mol_from_smiles(row[smiles_col])
+            except Exception:
+                continue
+            n = mol.num_atoms
+            if n == 0:
+                continue
+            x = np.zeros((n, len(atom_types) + 1), np.float32)
+            for i, a in enumerate(mol.atoms):
+                x[i, z_idx.get(a.z, 0)] = 1.0
+                x[i, -1] = len(mol.neighbors(i)) / 4.0
+            s, r = [], []
+            for (a, b) in mol.bonds:
+                s += [a, b]
+                r += [b, a]
+            graphs.append({"num_nodes": n,
+                           "senders": np.asarray(s, np.int32),
+                           "receivers": np.asarray(r, np.int32),
+                           "x": x, "y": int(float(row[label_col] or 0))})
+            if limit and len(graphs) >= limit:
+                break
+    return graphs

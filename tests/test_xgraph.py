@@ -145,3 +145,14 @@ def test_ba_lrp_dataset():
     graphs = ba_lrp(num_graphs=10, num_nodes=12)
     assert len(graphs) == 10
     assert {g["y"] for g in graphs} == {0, 1}
+
+
+def test_molecule_dataset_from_csv(tmp_path):
+    from dig_tpu.xgraph.datasets import molecule_dataset
+    csv = tmp_path / "bbbp.csv"
+    csv.write_text("smiles,p_np\nCCO,1\nc1ccccc1,0\nCC(N)=O,1\nbadsmiles(,0\n")
+    graphs = molecule_dataset(str(tmp_path), "bbbp")
+    assert len(graphs) == 3  # bad SMILES skipped
+    g = graphs[1]
+    assert g["num_nodes"] == 6 and g["y"] == 0
+    assert g["x"].shape[1] == 13
