@@ -1,13 +1,15 @@
 from .qm9 import QM93D
 from .md17 import MD17
 from .synthetic import synthetic_molecules
-from .loader import MoleculeLoader, DenseMoleculeLoader
+from .loader import (MoleculeLoader, DenseMoleculeLoader,
+                     PackedDenseMoleculeLoader)
 from .graphs import (GraphClsLoader, synthetic_graph_dataset, load_tu_dataset,
                      degree_onehot)
 from .proteins import (ECdataset, FOLDdataset, ProteinLoader,
                        synthetic_proteins)
 
 __all__ = ["QM93D", "MD17", "synthetic_molecules", "MoleculeLoader", "DenseMoleculeLoader",
+           "PackedDenseMoleculeLoader",
            "GraphClsLoader", "synthetic_graph_dataset", "load_tu_dataset",
            "degree_onehot", "ECdataset", "FOLDdataset", "ProteinLoader",
            "synthetic_proteins"]

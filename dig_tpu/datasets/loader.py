@@ -112,3 +112,60 @@ class DenseMoleculeLoader:
                 self.n_max, num_graphs=self.batch_size,
                 globals_list=globals_list,
                 nodes_list=nodes_list or None)
+
+
+class PackedDenseMoleculeLoader:
+    """Dense minibatches where each [n_max] slot holds SEVERAL bin-packed
+    molecules (cross-molecule pairs masked via ``nodes['mol']``).
+
+    Dense-path compute is O(num_slots * n_max^2) regardless of how full the
+    slots are, so packing small molecules together raises real-edge
+    throughput for free (QM9's mean size is ~18 atoms vs the 29-atom max;
+    see graph_dense.pack_molecules). Batches consume a *variable* number of
+    molecules: iterate until exhausted rather than indexing.
+    """
+
+    def __init__(self, data, num_slots: int, n_max: int = 32,
+                 max_per_slot: int = 4, shuffle: bool = False, seed: int = 0):
+        from ..graph_dense import packed_dense_batch_np
+        self._packed = packed_dense_batch_np
+        self.data = list(data)
+        self.num_slots = num_slots
+        self.n_max = n_max
+        self.max_per_slot = max_per_slot
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __iter__(self):
+        order = np.arange(len(self.data))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        fills = []          # per-slot atom fill
+        members = []        # per-slot list of chunk-local molecule indices
+        chunk = []
+        for i in order:
+            m = self.data[i]
+            n = len(m["z"])
+            placed = False
+            for s in range(len(fills)):
+                if (fills[s] + n <= self.n_max
+                        and len(members[s]) < self.max_per_slot):
+                    fills[s] += n
+                    members[s].append(len(chunk))
+                    placed = True
+                    break
+            if not placed:
+                if len(fills) == self.num_slots:
+                    yield self._packed(chunk, self.num_slots, self.n_max,
+                                       self.max_per_slot, slots=members)
+                    fills, members, chunk = [], [], []
+                fills.append(n)
+                members.append([len(chunk)])
+            chunk.append(m)
+        # ragged tail dropped when shuffling (training), emitted otherwise
+        if chunk and not self.shuffle:
+            yield self._packed(chunk, self.num_slots, self.n_max,
+                               self.max_per_slot, slots=members)

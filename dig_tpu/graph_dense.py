@@ -89,6 +89,81 @@ def dense_batch_np(
     )
 
 
+def pack_molecules(sizes, capacity: int, max_per_slot: int):
+    """First-fit-decreasing bin packing of molecule sizes into slots.
+
+    Returns a list of slots, each a list of molecule indices, such that the
+    atom counts in a slot sum to <= capacity and each slot holds at most
+    ``max_per_slot`` molecules. Used by ``packed_dense_batch_np`` to raise
+    the real-pair occupancy of dense [G, n_max] batches (padding compute is
+    quadratic in the slot size, so co-locating small molecules is free
+    throughput).
+    """
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+    slots: list = []
+    fill: list = []
+    for i in order:
+        n = sizes[i]
+        placed = False
+        for s in range(len(slots)):
+            if fill[s] + n <= capacity and len(slots[s]) < max_per_slot:
+                slots[s].append(i)
+                fill[s] += n
+                placed = True
+                break
+        if not placed:
+            slots.append([i])
+            fill.append(n)
+    return slots
+
+
+def packed_dense_batch_np(
+    mols, num_slots: int, n_max: int, max_per_slot: int = 4,
+    target_key: str = "y", slots=None,
+) -> DenseGraphBatch:
+    """Bin-pack molecule dicts ({z, pos, y}) into a DenseGraphBatch where a
+    slot may hold several molecules.
+
+    Adds ``nodes['mol']`` ([G, n_max] int32: molecule index within the
+    slot), ``globals['y']`` ([G, max_per_slot, T]) and
+    ``globals['mol_mask']`` ([G, max_per_slot] bool). Models must mask
+    cross-molecule pairs (``radius_adjacency(..., mol_id=...)``) and read
+    out per (slot, mol).
+    """
+    sizes = [len(m["z"]) for m in mols]
+    if any(s > n_max for s in sizes):
+        raise ValueError("molecule larger than n_max")
+    if slots is None:
+        slots = pack_molecules(sizes, n_max, max_per_slot)
+    if len(slots) > num_slots:
+        raise ValueError(f"packing needs {len(slots)} slots > {num_slots}")
+    T = np.atleast_1d(mols[0][target_key]).shape[0]
+    G = num_slots
+    z = np.zeros((G, n_max), np.int32)
+    pos = np.zeros((G, n_max, 3), np.float32)
+    mask = np.zeros((G, n_max), bool)
+    mol = np.zeros((G, n_max), np.int32)
+    y = np.zeros((G, max_per_slot, T), np.float32)
+    mol_mask = np.zeros((G, max_per_slot), bool)
+    for g, slot in enumerate(slots):
+        at = 0
+        for k, i in enumerate(slot):
+            m = mols[i]
+            n = len(m["z"])
+            z[g, at:at + n] = m["z"]
+            pos[g, at:at + n] = m["pos"]
+            mask[g, at:at + n] = True
+            mol[g, at:at + n] = k
+            y[g, k] = np.atleast_1d(m[target_key])
+            mol_mask[g, k] = True
+            at += n
+    return DenseGraphBatch(
+        z=jnp.asarray(z), pos=jnp.asarray(pos), node_mask=jnp.asarray(mask),
+        globals={"y": jnp.asarray(y), "mol_mask": jnp.asarray(mol_mask)},
+        nodes={"mol": jnp.asarray(mol)},
+    )
+
+
 def dense_pairwise(pos: Array, node_mask: Array, eps: float = 1e-12):
     """All-pairs distances and pair validity for a dense batch.
 
@@ -104,14 +179,19 @@ def dense_pairwise(pos: Array, node_mask: Array, eps: float = 1e-12):
     return dist, pair_mask
 
 
-def radius_adjacency(pos: Array, node_mask: Array, cutoff: float):
+def radius_adjacency(pos: Array, node_mask: Array, cutoff: float,
+                     mol_id: Optional[Array] = None):
     """Dense radius graph: adjacency ``[G, n, n]`` with adj[g, i, j] True iff
     ||pos_i - pos_j|| < cutoff, both real, i != j.
 
     Matches PyG ``radius_graph(pos, r, batch)`` semantics (strict inequality,
     no self loops) used at ``dig/threedgraph/method/schnet/schnet.py:156``.
+    With ``mol_id`` ([G, n] int32, from packed batches) pairs belonging to
+    different molecules sharing a slot are excluded.
     """
     dist, pair_mask = dense_pairwise(pos, node_mask)
+    if mol_id is not None:
+        pair_mask = pair_mask & (mol_id[:, :, None] == mol_id[:, None, :])
     return dist, pair_mask & (dist < cutoff)
 
 

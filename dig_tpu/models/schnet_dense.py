@@ -35,19 +35,25 @@ class SchNetDense(nn.Module):
     num_gaussians: int = 50
     compute_dtype: jnp.dtype = jnp.float32  # bf16: 2x MXU rate, same
     # params/readout in f32 (mixed precision; geometry stays f32)
-    use_pallas: bool = False  # fused VMEM cfconv kernel (f32 path)
+    use_pallas: bool = False  # fused VMEM cfconv kernel (ops/pallas_cfconv)
 
     @nn.compact
     def __call__(self, b: DenseGraphBatch):
         z = b.z
         pos = b.pos
         cd = self.compute_dtype
-        dist, adj = radius_adjacency(pos, b.node_mask, self.cutoff)
+        mol_id = b.nodes.get("mol")  # packed batches: >1 molecule per slot
+        dist, adj = radius_adjacency(pos, b.node_mask, self.cutoff,
+                                     mol_id=mol_id)
 
-        rbf = gaussian_rbf(dist, 0.0, self.cutoff, self.num_gaussians)
-        C = cosine_cutoff(dist, self.cutoff)
-        gate = (C * adj.astype(jnp.float32)).astype(cd)
-        rbf = rbf.astype(cd)
+        if self.use_pallas:
+            from ..ops.pallas_cfconv import MASK_DIST
+            dist_m = jnp.where(adj, dist, MASK_DIST)
+        else:
+            rbf = gaussian_rbf(dist, 0.0, self.cutoff, self.num_gaussians)
+            C = cosine_cutoff(dist, self.cutoff)
+            gate = (C * adj.astype(jnp.float32)).astype(cd)
+            rbf = rbf.astype(cd)
 
         def dense(f, use_bias=True):
             return nn.Dense(f, use_bias=use_bias, kernel_init=xavier,
@@ -61,7 +67,7 @@ class SchNetDense(nn.Module):
         for _ in range(self.num_layers):
             vj = dense(self.num_filters, use_bias=False)(v)
             if self.use_pallas:
-                from ..ops.pallas_cfconv import cfconv
+                from ..ops.pallas_cfconv import cfconv_fused
                 w1 = self.param(f"cf_w1_{_}", xavier,
                                 (self.num_gaussians, self.num_filters))
                 b1 = self.param(f"cf_b1_{_}", jax.nn.initializers.zeros,
@@ -70,9 +76,9 @@ class SchNetDense(nn.Module):
                                 (self.num_filters, self.num_filters))
                 b2 = self.param(f"cf_b2_{_}", jax.nn.initializers.zeros,
                                 (self.num_filters,))
-                agg = cfconv(rbf.astype(jnp.float32),
-                             gate.astype(jnp.float32),
-                             vj.astype(jnp.float32), w1, b1, w2, b2)
+                prec = "bf16" if cd == jnp.bfloat16 else "f32"
+                agg = cfconv_fused(dist_m, vj, w1, b1, w2, b2,
+                                   self.cutoff, self.num_gaussians, prec)
                 agg = agg.astype(cd)
             else:
                 W = MLP([self.num_filters, self.num_filters],
@@ -92,4 +98,10 @@ class SchNetDense(nn.Module):
         h = shifted_softplus(h)
         h = nn.Dense(self.out_channels, kernel_init=xavier)(h)
         h = jnp.where(b.node_mask[..., None], h, 0.0)
+        if mol_id is not None:
+            # per-molecule readout within each packed slot: [G, M, out]
+            M = b.globals["mol_mask"].shape[1]
+            onehot = ((mol_id[:, :, None] == jnp.arange(M)[None, None])
+                      & b.node_mask[:, :, None]).astype(jnp.float32)
+            return jnp.einsum("gnm,gno->gmo", onehot, h)
         return jnp.sum(h, axis=1)                         # [G, out]

@@ -1,0 +1,68 @@
+"""Packed dense batching: bin-packing invariants and model parity —
+a molecule's energy must be identical whether it sits alone in a slot or
+shares one with other molecules (cross-molecule pairs masked)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dig_tpu.datasets import (DenseMoleculeLoader, PackedDenseMoleculeLoader,
+                              synthetic_molecules)
+from dig_tpu.graph_dense import pack_molecules, packed_dense_batch_np
+from dig_tpu.models import SchNetDense
+
+
+def test_pack_molecules_invariants():
+    rng = np.random.default_rng(0)
+    sizes = list(rng.integers(4, 30, size=100))
+    slots = pack_molecules(sizes, capacity=32, max_per_slot=4)
+    seen = [i for s in slots for i in s]
+    assert sorted(seen) == list(range(100))
+    for s in slots:
+        assert sum(sizes[i] for i in s) <= 32
+        assert len(s) <= 4
+
+
+def test_packed_loader_covers_all_molecules():
+    mols = synthetic_molecules(200, seed=1, min_atoms=6, max_atoms=20)
+    loader = PackedDenseMoleculeLoader(mols, num_slots=16, n_max=32,
+                                       shuffle=False)
+    total = 0
+    for b in loader:
+        total += int(np.asarray(b.globals["mol_mask"]).sum())
+        # per-slot atom counts match molecule sizes
+        mol_id = np.asarray(b.nodes["mol"])
+        mask = np.asarray(b.node_mask)
+        assert (mol_id[~mask] == 0).all()
+    assert total == 200
+
+
+def test_packed_model_matches_unpacked():
+    mols = synthetic_molecules(12, seed=2, min_atoms=5, max_atoms=14,
+                               box=5.0)
+    kw = dict(cutoff=4.0, num_layers=2, hidden_channels=16,
+              num_filters=16, num_gaussians=8)
+    model = SchNetDense(**kw)
+
+    packed = packed_dense_batch_np(mols, num_slots=8, n_max=28,
+                                   max_per_slot=2)
+    params = model.init(jax.random.PRNGKey(0), packed)
+    out_packed = np.asarray(model.apply(params, packed))   # [G, M, 1]
+
+    # same molecules, one per slot
+    single = next(iter(DenseMoleculeLoader(mols, 12, n_max=28)))
+    out_single = np.asarray(model.apply(params, single))   # [12, 1]
+
+    # map each molecule's packed prediction back via its target row
+    y_packed = np.asarray(packed.globals["y"])
+    mm = np.asarray(packed.globals["mol_mask"])
+    y_single = np.asarray(single.globals["y"])
+    for g in range(y_packed.shape[0]):
+        for m in range(y_packed.shape[1]):
+            if not mm[g, m]:
+                continue
+            # find the molecule with this target vector
+            match = np.where((np.abs(y_single - y_packed[g, m]).sum(1))
+                             < 1e-6)[0]
+            assert len(match) == 1
+            np.testing.assert_allclose(out_packed[g, m], out_single[match[0]],
+                                       rtol=2e-4, atol=2e-4)
