@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import segment_max, segment_mean, segment_min, segment_sum
+from ..ops.segment import segment_sum_sorted
 from .history import FeatureMomentum, History
 from .loader import EvalSubgraphLoader, SubData
 
@@ -40,14 +41,21 @@ def _sub_gcn_norm(senders, receivers, edge_mask, num_rows):
 
 class _GCNLayer(nn.Module):
     out_dim: int
+    segment_eb: int = 0  # >0: Pallas sorted-CSR aggregation (SubData
+    # receivers are CSR-sorted: loader.py builds them by rowptr expansion)
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask):
         h = nn.Dense(self.out_dim, kernel_init=xavier)(x)
         N = x.shape[0]
         coef, self_coef = _sub_gcn_norm(senders, receivers, edge_mask, N)
-        agg = segment_sum(h[senders] * coef[:, None], receivers, N,
-                          mask=edge_mask)
+        if self.segment_eb > 0:
+            agg = segment_sum_sorted(h[senders] * coef[:, None], receivers,
+                                     N, mask=edge_mask,
+                                     max_edges_per_block=self.segment_eb)
+        else:
+            agg = segment_sum(h[senders] * coef[:, None], receivers, N,
+                              mask=edge_mask)
         return agg + self_coef[:, None] * h
 
 
@@ -57,13 +65,20 @@ class _GCN2Layer(nn.Module):
     dim: int
     alpha: float = 0.1
     beta: float = 0.5
+    segment_eb: int = 0
 
     @nn.compact
     def __call__(self, x, x0, senders, receivers, edge_mask):
         N = x.shape[0]
         coef, self_coef = _sub_gcn_norm(senders, receivers, edge_mask, N)
-        agg = segment_sum(x[senders] * coef[:, None], receivers, N,
-                          mask=edge_mask) + self_coef[:, None] * x
+        if self.segment_eb > 0:
+            agg = segment_sum_sorted(x[senders] * coef[:, None], receivers,
+                                     N, mask=edge_mask,
+                                     max_edges_per_block=self.segment_eb)
+        else:
+            agg = segment_sum(x[senders] * coef[:, None], receivers, N,
+                              mask=edge_mask)
+        agg = agg + self_coef[:, None] * x
         h = (1 - self.alpha) * agg + self.alpha * x0
         w = nn.Dense(self.dim, use_bias=False, kernel_init=xavier)(h)
         return (1 - self.beta) * h + self.beta * w
@@ -106,6 +121,7 @@ class _ScalableBody(nn.Module):
     num_layers: int
     dropout: float = 0.0
     avg_deg_log: float = 1.0
+    segment_eb: int = 0       # >0: Pallas sorted-CSR aggregation
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, in_batch_mask,
@@ -121,10 +137,12 @@ class _ScalableBody(nn.Module):
             if self.arch == "gcn":
                 dim = self.out_dim if last and self.arch == "gcn" else \
                     self.hidden
-                h = _GCNLayer(dim)(x, senders, receivers, edge_mask)
+                h = _GCNLayer(dim, segment_eb=self.segment_eb)(
+                    x, senders, receivers, edge_mask)
             elif self.arch == "gcn2":
-                h = _GCN2Layer(self.hidden)(x, x0, senders, receivers,
-                                            edge_mask)
+                h = _GCN2Layer(self.hidden,
+                               segment_eb=self.segment_eb)(
+                    x, x0, senders, receivers, edge_mask)
             else:
                 h = _PNALayer(self.hidden, self.avg_deg_log)(
                     x, senders, receivers, edge_mask)
@@ -148,10 +166,12 @@ class ScalableGNN:
 
     def __init__(self, arch: str, num_nodes: int, in_dim: int, hidden: int,
                  out_dim: int, num_layers: int, use_momentum: bool = False,
-                 gamma: float = 0.9, avg_deg: float = 10.0):
+                 gamma: float = 0.9, avg_deg: float = 10.0,
+                 segment_eb: int = 0):
         self.body = _ScalableBody(arch=arch, hidden=hidden, out_dim=out_dim,
                                   num_layers=num_layers,
-                                  avg_deg_log=float(np.log(avg_deg + 1.0)))
+                                  avg_deg_log=float(np.log(avg_deg + 1.0)),
+                                  segment_eb=segment_eb)
         self.num_layers = num_layers
         self.num_nodes = num_nodes
         self.hidden = hidden

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..graph import GraphBatch
 from ..nn.blocks import MLP, shifted_softplus
 from ..ops import segment_sum
+from ..ops.segment import segment_sum_sorted
 from ..ops.basis import cosine_cutoff, gaussian_rbf
 from ..ops.radius import radius_graph_flat
 from ..ops.triplets import edge_distances
@@ -33,6 +34,7 @@ class SchNetInteraction(nn.Module):
     hidden_channels: int
     num_filters: int
     cutoff: float
+    segment_eb: int = 0  # >0: Pallas sorted-CSR aggregation, edge-window cap
 
     @nn.compact
     def __call__(self, v, dist, dist_emb, senders, receivers, edge_mask,
@@ -45,8 +47,13 @@ class SchNetInteraction(nn.Module):
         vj = nn.Dense(self.num_filters, use_bias=False,
                       kernel_init=xavier)(v)[senders]
         e = vj * W
-        # update_v
-        agg = segment_sum(e, receivers, num_nodes, mask=edge_mask)
+        # update_v — receivers are row-major-sorted (ops/radius.py:
+        # adjacency_to_edges), so the Pallas CSR kernel applies when opted in
+        if self.segment_eb > 0:
+            agg = segment_sum_sorted(e, receivers, num_nodes, mask=edge_mask,
+                                     max_edges_per_block=self.segment_eb)
+        else:
+            agg = segment_sum(e, receivers, num_nodes, mask=edge_mask)
         out = nn.Dense(self.hidden_channels, kernel_init=xavier)(agg)
         out = shifted_softplus(out)
         out = nn.Dense(self.hidden_channels, kernel_init=xavier)(out)
@@ -71,6 +78,7 @@ class SchNet(nn.Module):
     num_filters: int = 128
     num_gaussians: int = 50
     max_edges: int = 4096  # static radius-graph cap (size from data stats)
+    segment_eb: int = 0  # >0: Pallas sorted-CSR edge->node aggregation
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -91,7 +99,8 @@ class SchNet(nn.Module):
 
         for _ in range(self.num_layers):
             v = SchNetInteraction(self.hidden_channels, self.num_filters,
-                                  self.cutoff)(
+                                  self.cutoff,
+                                  segment_eb=self.segment_eb)(
                 v, dist, dist_emb, g.senders, g.receivers, g.edge_mask, N)
             v = jnp.where(g.node_mask[:, None], v, 0.0)
 

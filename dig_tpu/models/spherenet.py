@@ -36,7 +36,7 @@ from ..graph import GraphBatch
 from ..nn.init import glorot_orthogonal
 from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import radius_graph_flat
-from ..ops.segment import segment_sum
+from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, edge_distances,
                             torsion_angles, triplet_geometry)
 
@@ -197,10 +197,16 @@ class UpdateV(nn.Module):
     num_output_layers: int
     output_init: str
     act: callable = swish
+    segment_eb: int = 0  # >0: Pallas sorted-CSR aggregation (receivers are
+    # row-major sorted by ops/radius.adjacency_to_edges)
 
     @nn.compact
     def __call__(self, e2, receivers, edge_mask, num_nodes):
-        v = segment_sum(e2, receivers, num_nodes, mask=edge_mask)
+        if self.segment_eb > 0:
+            v = segment_sum_sorted(e2, receivers, num_nodes, mask=edge_mask,
+                                   max_edges_per_block=self.segment_eb)
+        else:
+            v = segment_sum(e2, receivers, num_nodes, mask=edge_mask)
         v = nn.Dense(self.out_emb_channels, kernel_init=go2)(v)
         for _ in range(self.num_output_layers):
             v = self.act(nn.Dense(self.out_emb_channels, kernel_init=go2,
@@ -233,6 +239,7 @@ class _SphericalMPNN(nn.Module):
     output_init: str = "GlorotOrthogonal"
     max_edges: int = 4096
     max_in_degree: int = 24
+    segment_eb: int = 0  # >0: Pallas sorted-CSR edge->node aggregation
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -263,7 +270,8 @@ class _SphericalMPNN(nn.Module):
         e1, e2 = InitBlock(self.hidden_channels)(z, rbf0, senders, receivers)
         v = UpdateV(self.hidden_channels, self.out_emb_channels,
                     self.out_channels, self.num_output_layers,
-                    self.output_init)(e2, receivers, edge_mask, N)
+                    self.output_init,
+                    segment_eb=self.segment_eb)(e2, receivers, edge_mask, N)
         u = segment_sum(v, g.node_graph, G, mask=g.node_mask)
 
         for _ in range(self.num_layers):
@@ -276,7 +284,9 @@ class _SphericalMPNN(nn.Module):
                              self.num_after_skip)(e1, rbf0, sbf, tbf, trip)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,
                         self.out_channels, self.num_output_layers,
-                        self.output_init)(e2, receivers, edge_mask, N)
+                        self.output_init,
+                        segment_eb=self.segment_eb)(e2, receivers,
+                                                    edge_mask, N)
             u = u + segment_sum(v, g.node_graph, G, mask=g.node_mask)
         return u
 

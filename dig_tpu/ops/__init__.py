@@ -1,12 +1,15 @@
 """Hot graph ops: segment reductions, gather/scatter message passing,
 radius-graph construction, triplet/torsion index building, basis functions.
 
-XLA implementations are the reference semantics; Pallas TPU kernels (in
-``pallas_segment.py``) accelerate the CSR-sorted aggregation path and are
-dispatched automatically on TPU backends for shapes where they win.
+XLA implementations are the reference semantics. Pallas TPU kernels back
+two hot paths: the fused dense cfconv (``pallas_cfconv.py``) and the
+sorted-CSR segment-sum/SpMM (``pallas_segment.py``, opt-in via the
+models' ``segment_eb`` attribute / ``segment_sum_sorted``; off-TPU both
+fall back to the XLA path so tests run everywhere).
 """
 from .segment import (
     segment_sum,
+    segment_sum_sorted,
     segment_mean,
     segment_max,
     segment_min,

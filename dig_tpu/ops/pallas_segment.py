@@ -1,0 +1,195 @@
+"""Row-blocked CSR segment-sum / SpMM — Pallas TPU kernel.
+
+TPU replacement for the reference's sorted ``torch_scatter.scatter`` hot
+loops (``dig/threedgraph/method/schnet/schnet.py:55``,
+``spherenet.py:171,211,224``) and for ``torch_sparse`` SpMM in the
+large-graph path (``dig/lsgraph/method/GraphFMOB/models/base.py``).
+
+Design (see SURVEY.md §7 "SpMM/segment-sum performance"):
+
+* Edges arrive sorted by destination row with a CSR ``rowptr`` — the
+  layout ``dense_to_flat`` and the lsgraph partitioner already produce.
+* The grid runs over blocks of ``block_rows`` output rows. Each step DMAs
+  a fixed-size window of ``max_edges_per_block`` edge rows from HBM at a
+  *dynamic* offset (``rowptr[k*block_rows]``, scalar-prefetched) into
+  VMEM — the one part XLA's static-shape model cannot express.
+* The per-block reduction is a one-hot matmul on the MXU:
+  ``out[r, f] = sum_e 1[seg[e] == r] * data[e, f]``. A segment sum is
+  HBM-bound (it must read every edge row once), so spending
+  ``block_rows`` extra MACs per element is free and avoids both scalar
+  scatter loops and the full ``[N, E]`` one-hot fallback.
+* Edge-window membership needs no explicit masking: edges past the
+  block's true extent belong to later rows, so their one-hot column is
+  all zero (padding edges carry segment id -1).
+
+Overflow: a window holds at most ``max_edges_per_block`` edges; blocks
+whose true edge count exceeds the cap contribute only the first
+``max_edges_per_block`` edges and the excess is returned as an overflow
+count (never silently wrong — callers size caps from data statistics,
+the repo-wide static-cap convention).
+
+The custom VJP is the row gather ``d_data[e] = d_out[seg[e]]`` — a plain
+XLA gather (already HBM-optimal, and free of dynamic-offset writes).
+Off TPU everything runs in interpret mode (tests/test_pallas_segment.py);
+``jax.ops.segment_sum`` remains the oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(starts_ref, seg_hbm, data_hbm, out_ref, seg_v, data_v, sems,
+                *, BN: int, EB: int, F: int):
+    k = pl.program_id(0)
+    # DMA offsets must be tile-aligned (sublane 8 / lane 128); align the
+    # window start DOWN to 128. The over-fetched leading edges belong to
+    # earlier rows, so their one-hot column is zero — correctness needs no
+    # masking, only ~128 slack in the window cap (see csr_block_overflow).
+    start = starts_ref[k]
+    start_al = pl.multiple_of((start // 128) * 128, 128)
+    seg_dma = pltpu.make_async_copy(
+        seg_hbm.at[:, pl.ds(start_al, EB)], seg_v, sems.at[0])
+    data_dma = pltpu.make_async_copy(
+        data_hbm.at[pl.ds(start_al, EB), :], data_v, sems.at[1])
+    seg_dma.start()
+    data_dma.start()
+    seg_dma.wait()
+    data_dma.wait()
+    rel = seg_v[...] - k * BN                                # [1, EB]
+    row = jax.lax.broadcasted_iota(jnp.int32, (BN, EB), 0)
+    onehot = (rel == row).astype(data_v.dtype)               # [BN, EB]
+    # HIGHEST: the sum must be f32-exact; the DMA, not this matmul, is the
+    # throughput bound, so full-precision passes are free.
+    out_ref[...] = jnp.dot(onehot, data_v[...],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def segment_sum_sorted_csr(data, seg_ids, rowptr, num_rows, block_rows=32,
+                           max_edges_per_block=1024):
+    """Sorted-CSR segment sum: data [E, F], seg_ids [E] (ascending; -1 for
+    padding rows), rowptr [num_rows+1] -> out [num_rows, F] float32.
+
+    ``num_rows``, ``block_rows`` and ``max_edges_per_block`` are static;
+    ``num_rows`` is padded to a multiple of ``block_rows`` internally and
+    F to a lane multiple. Edges beyond a block's window cap are dropped —
+    use :func:`csr_block_overflow` to check/account.
+    """
+    return _ss_fwd(data, seg_ids, rowptr, num_rows, block_rows,
+                   max_edges_per_block)[0]
+
+
+def csr_block_overflow(rowptr, num_rows: int, block_rows: int,
+                       max_edges_per_block: int):
+    """Total edges that ``segment_sum_sorted_csr`` would drop (0 == safe).
+
+    Accounts for the kernel's 128-aligned window start: a block's window
+    effectively holds ``max_edges_per_block - (start % 128)`` of its own
+    edges.
+    """
+    NB = _round_up(num_rows, block_rows) // block_rows
+    rp = jnp.pad(rowptr, (0, NB * block_rows + 1 - rowptr.shape[0]),
+                 mode="edge")
+    starts = rp[:: block_rows][:NB]
+    ends = rp[:: block_rows][1:NB + 1]
+    start_al = (starts // 128) * 128
+    kept = jnp.clip(start_al + max_edges_per_block - starts, 0,
+                    ends - starts)
+    return jnp.sum((ends - starts) - kept)
+
+
+def _prep(data, seg_ids, rowptr, num_rows, BN, EB):
+    E, F = data.shape
+    F_pad = _round_up(F, 128) if _on_tpu() else F
+    N_pad = _round_up(num_rows, BN)
+    NB = N_pad // BN
+    if F_pad != F:
+        data = jnp.pad(data, ((0, 0), (0, F_pad - F)))
+    # pad edges so a window DMA starting at rowptr[-1] stays in bounds
+    data = jnp.pad(data, ((0, EB), (0, 0)))
+    seg = jnp.pad(seg_ids.astype(jnp.int32), (0, EB), constant_values=-1)
+    seg2 = seg.reshape(1, -1)                    # [1, E+EB]: lane layout
+    rp = jnp.pad(rowptr.astype(jnp.int32),
+                 (0, N_pad + 1 - rowptr.shape[0]), mode="edge")
+    starts = rp[::BN][:NB]
+    return data, seg2, starts, F_pad, N_pad, NB
+
+
+def _ss_fwd(data, seg_ids, rowptr, num_rows, BN, EB):
+    orig_dtype = data.dtype
+    E, F = data.shape
+    data_p, seg2, starts, F_pad, N_pad, NB = _prep(
+        data, seg_ids, rowptr, num_rows, BN, EB)
+    kern = functools.partial(_fwd_kernel, BN=BN, EB=EB, F=F_pad)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),      # seg [1, E+EB]
+                pl.BlockSpec(memory_space=pl.ANY),      # data [E+EB, F]
+            ],
+            out_specs=pl.BlockSpec((BN, F_pad), lambda k, s: (k, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, EB), jnp.int32),
+                pltpu.VMEM((EB, F_pad), data_p.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, F_pad), jnp.float32),
+        interpret=not _on_tpu(),
+    )(starts, seg2, data_p)
+    dtype_token = jnp.zeros((0,), orig_dtype)
+    return out[:num_rows, :F], (seg_ids, rowptr, dtype_token)
+
+
+def _ss_bwd(num_rows, BN, EB, res, g):
+    # The VJP of a segment sum is the row gather d_data[e] = d_out[seg[e]]
+    # — a plain HBM-bound XLA gather, which needs none of the forward's
+    # dynamic-window machinery (and cannot express its own overflow drop,
+    # matching the forward's semantics only when overflow == 0).
+    seg_ids, rowptr, dtype_token = res
+    del rowptr
+    safe = jnp.clip(seg_ids, 0, num_rows - 1)
+    d_data = g[safe]
+    d_data = jnp.where((seg_ids >= 0)[:, None], d_data, 0.0)
+    return (d_data.astype(dtype_token.dtype), None, None)
+
+
+segment_sum_sorted_csr.defvjp(_ss_fwd, _ss_bwd)
+
+
+def spmm_csr(rowptr, col, val, x, num_rows: int, *, block_rows: int = 32,
+             max_edges_per_block: int = 1024):
+    """CSR sparse @ dense: out[i] = sum_{e in row i} val[e] * x[col[e]].
+
+    The gather ``x[col]`` runs in XLA (a plain HBM-bound gather); the
+    segment reduction runs in the Pallas kernel. Replaces the
+    torch_sparse matmuls of the reference's ScalableGNN models.
+    """
+    E = col.shape[0]
+    seg = jnp.repeat(jnp.arange(rowptr.shape[0] - 1, dtype=jnp.int32),
+                     jnp.diff(rowptr), total_repeat_length=E)
+    data = x[col]
+    if val is not None:
+        data = data * val[:, None]
+    return segment_sum_sorted_csr(data, seg, rowptr, num_rows, block_rows,
+                                  max_edges_per_block)

@@ -11,9 +11,10 @@ All functions accept an optional ``mask`` over the data rows; masked-out
 rows contribute the reduction identity. Indices must be in-range (padding
 convention: index 0 with a False mask).
 
-A Pallas row-blocked CSR kernel backs ``segment_sum_sorted_csr`` for the
-large-graph path (see ``pallas_segment.py``); the functions here are the
-general entry points.
+A Pallas row-blocked CSR kernel (``pallas_segment.py``) backs
+``segment_sum_sorted`` for aggregations whose indices are sorted by
+construction (flat radius graphs are row-major by receiver, lsgraph
+subgraphs are CSR); the functions here are the general entry points.
 """
 from __future__ import annotations
 
@@ -41,6 +42,36 @@ def segment_sum(data: Array, segment_ids: Array, num_segments: int,
     data = _apply_mask(data, mask, 0.0)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
                                indices_are_sorted=indices_are_sorted)
+
+
+def segment_sum_sorted(data: Array, segment_ids: Array, num_segments: int,
+                       mask: Optional[Array] = None,
+                       max_edges_per_block: int = 1024,
+                       block_rows: int = 32) -> Array:
+    """Segment sum for *sorted* ids (trailing padding allowed) through the
+    Pallas CSR kernel on TPU; identical to :func:`segment_sum` elsewhere.
+
+    The CSR rowptr is recovered with a searchsorted over the (masked) ids.
+    ``max_edges_per_block`` must cover the densest ``block_rows`` rows plus
+    up to 127 alignment slack — size it from data statistics and audit with
+    ``pallas_segment.csr_block_overflow``.
+    """
+    from .pallas_segment import _on_tpu, segment_sum_sorted_csr
+    if not _on_tpu():
+        return segment_sum(data, segment_ids, num_segments, mask,
+                           indices_are_sorted=True)
+    ids = segment_ids.astype(jnp.int32)
+    if mask is not None:
+        data = _apply_mask(data, mask, 0.0)
+        ids_sort = jnp.where(mask, ids, num_segments)
+        ids = jnp.where(mask, ids, -1)
+    else:
+        ids_sort = ids
+    rowptr = jnp.searchsorted(ids_sort, jnp.arange(num_segments + 1),
+                              side="left").astype(jnp.int32)
+    return segment_sum_sorted_csr(data, ids, rowptr, num_segments,
+                                  block_rows, max_edges_per_block
+                                  ).astype(data.dtype)
 
 
 def segment_mean(data: Array, segment_ids: Array, num_segments: int,
