@@ -85,6 +85,96 @@ def calibrate(K: int = 20):
     return tflops, gbps
 
 
+def bench_spherenet():
+    """Secondary metric: flagship SphereNet (triplet path) train edges/s."""
+    from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+    from dig_tpu.models import SphereNet
+    from dig_tpu.ops.radius import radius_graph_flat
+
+    G, n_steps = 64, 10
+    mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
+                               max_atoms=29, box=6.0)
+    loader = MoleculeLoader(mols, G, n_node_pad=G * 29, shuffle=True, seed=0)
+    model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
+                      num_spherical=3, num_radial=6, max_edges=16384,
+                      max_in_degree=32, segment_eb=2048)
+    opt = optax.adam(5e-4)
+    it = iter(loader)
+    batches = [next(it) for _ in range(n_steps)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+    opt_state = opt.init(params)
+
+    def train_step(carry, b):
+        params, opt_state = carry
+        def loss_fn(p):
+            e = model.apply(p, b)[:, 0]
+            return jnp.mean(jnp.abs(e - b.globals["y"][:, 0]))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def epoch(params, opt_state, stacked):
+        (params, opt_state), losses = jax.lax.scan(
+            train_step, (params, opt_state), stacked)
+        return params, opt_state, losses
+
+    @jax.jit
+    def count_edges(stacked):
+        def one(b):
+            _, _, em = radius_graph_flat(b.nodes["pos"], b.node_graph,
+                                         b.node_mask, 5.0, 16384)
+            return jnp.sum(em)
+        return jnp.sum(jax.vmap(one)(stacked))
+
+    edges = int(count_edges(stacked))
+    params, opt_state, losses = epoch(params, opt_state, stacked)
+    float(losses[-1])
+    state = [params, opt_state]
+
+    def run():
+        state[0], state[1], losses = epoch(state[0], state[1], stacked)
+        return losses
+
+    dt = _median_time(run, lambda l: float(l[-1]), trials=3)
+    return {"spherenet_flat_train_edges_per_s": round(edges / dt, 1),
+            "spherenet_step_ms": round(dt / n_steps * 1e3, 3)}
+
+
+def bench_lsgraph():
+    """Secondary metric: partitioned large-graph path (ScalableGNN GCN
+    over SubgraphLoader minibatches with the Pallas CSR aggregation)."""
+    import numpy as _np
+    from dig_tpu.lsgraph import synthetic_large_graph
+    from dig_tpu.lsgraph.loader import SubgraphLoader, metis_permute
+    from dig_tpu.lsgraph.models import ScalableGNN
+
+    data = synthetic_large_graph(20000, seed=0, avg_deg=16)
+    s, r, x, y = data["senders"], data["receivers"], data["x"], data["y"]
+    N = len(y)
+    perm, ptr, _ = metis_permute(s, r, N, 16, seed=0)
+    loader = SubgraphLoader(s, r, N, ptr, perm, batch_parts=4)
+    model = ScalableGNN("gcn", N, x.shape[1], 128, 8, 3, segment_eb=2048)
+    subs = list(loader)
+    xg = jnp.asarray(x)
+    params = model.init(jax.random.PRNGKey(0), xg, subs[0])
+    edges = int(sum(int(_np.asarray(sub.edge_mask).sum()) for sub in subs))
+
+    @jax.jit
+    def fwd_all(params, xg):
+        outs = []
+        for sub in subs:
+            out = model.forward(params, model.histories, xg, sub)
+            outs.append(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        return jnp.stack(outs).sum()
+
+    float(fwd_all(params, xg))
+    dt = _median_time(lambda: fwd_all(params, xg), lambda o: float(o),
+                      trials=3)
+    return {"lsgraph_partitioned_fwd_edges_per_s": round(edges / dt, 1)}
+
+
 def main():
     from dig_tpu.datasets import PackedDenseMoleculeLoader, synthetic_molecules
     from dig_tpu.graph_dense import radius_adjacency
@@ -157,6 +247,13 @@ def main():
     bytes_per_edge = 2 * hidden * 4 * num_layers
     roofline = gbps * 1e9 / bytes_per_edge
 
+    extras2 = {}
+    for fn in (bench_spherenet, bench_lsgraph):
+        try:
+            extras2.update(fn())
+        except Exception as e:  # secondary metrics never sink the primary
+            extras2[fn.__name__ + "_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": "schnet_packed_pallas_train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
@@ -172,6 +269,7 @@ def main():
             "note": ("roofline = measured HBM GB/s over the scatter-SpMM "
                      "filter traffic (2*F*4B/edge/layer); kernel itself is "
                      "MXU-bound, see bench.py docstring"),
+            **extras2,
         },
     }))
 

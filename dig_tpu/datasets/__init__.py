@@ -1,6 +1,7 @@
 from .qm9 import QM93D
 from .md17 import MD17
-from .synthetic import synthetic_molecules
+from .synthetic import (synthetic_molecules,
+                        synthetic_morse_molecules, morse_energy)
 from .loader import (MoleculeLoader, DenseMoleculeLoader,
                      PackedDenseMoleculeLoader)
 from .graphs import (GraphClsLoader, synthetic_graph_dataset, load_tu_dataset,
@@ -8,7 +9,8 @@ from .graphs import (GraphClsLoader, synthetic_graph_dataset, load_tu_dataset,
 from .proteins import (ECdataset, FOLDdataset, ProteinLoader,
                        synthetic_proteins)
 
-__all__ = ["QM93D", "MD17", "synthetic_molecules", "MoleculeLoader", "DenseMoleculeLoader",
+__all__ = ["QM93D", "MD17", "synthetic_molecules",
+           "synthetic_morse_molecules", "morse_energy", "MoleculeLoader", "DenseMoleculeLoader",
            "PackedDenseMoleculeLoader",
            "GraphClsLoader", "synthetic_graph_dataset", "load_tu_dataset",
            "degree_onehot", "ECdataset", "FOLDdataset", "ProteinLoader",

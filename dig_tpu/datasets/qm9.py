@@ -28,6 +28,19 @@ _SEARCH_PATHS = [
 ]
 
 
+def get_idx_split(data_size: int, train_size: int, valid_size: int,
+                  seed: int):
+    """Reference-identical deterministic split (PygQM93D.py:117-121):
+    ``np.random.RandomState(seed).permutation(data_size)`` sliced into
+    train/valid/rest. Pure math — needs no data (the seed-42 determinism
+    fixture lives in tests/test_datasets.py)."""
+    ids = np.random.RandomState(seed).permutation(data_size)
+    train_idx = ids[:train_size]
+    val_idx = ids[train_size:train_size + valid_size]
+    test_idx = ids[train_size + valid_size:]
+    return {"train": train_idx, "valid": val_idx, "test": test_idx}
+
+
 class QM93D:
     """In-memory QM9-3D. ``data[i]`` -> dict(z, pos, y[12])."""
 
@@ -59,12 +72,7 @@ class QM93D:
 
     def get_idx_split(self, data_size: int, train_size: int, valid_size: int,
                       seed: int):
-        """Reference-identical deterministic split (PygQM93D.py:117-121)."""
-        ids = np.random.RandomState(seed).permutation(data_size)
-        train_idx = ids[:train_size]
-        val_idx = ids[train_size:train_size + valid_size]
-        test_idx = ids[train_size + valid_size:]
-        return {"train": train_idx, "valid": val_idx, "test": test_idx}
+        return get_idx_split(data_size, train_size, valid_size, seed)
 
     def select(self, idx) -> List[Dict[str, np.ndarray]]:
         return [self[int(i)] for i in idx]

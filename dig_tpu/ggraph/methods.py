@@ -37,6 +37,36 @@ def _np_softmax(x):
     return e / e.sum()
 
 
+def _split_vars(variables):
+    """Split flax variables into (params, rest-collections)."""
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    return params, rest
+
+
+def _flow_train_step(model, opt, method="loss"):
+    """Jitted NLL step over a flow model with BatchNorm running stats:
+    grads flow through params only; the updated ``batch_stats`` collection
+    rides along (reference trains BatchNorm1d the same way)."""
+
+    @jax.jit
+    def step(variables, opt_state, *args):
+        params, rest = _split_vars(variables)
+
+        def loss_fn(p):
+            out, mut = model.apply({**rest, "params": p}, *args,
+                                   method=method, mutable=["batch_stats"])
+            return out, mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        new_vars = {**rest, **mut, "params": optax.apply_updates(params,
+                                                                 updates)}
+        return new_vars, opt_state, loss
+
+    return step
+
+
 class GraphDF(Generator):
     """Discrete-flow generator (reference GraphDF/graphdf.py:10-392)."""
 
@@ -71,16 +101,9 @@ class GraphDF(Generator):
         adj0 = jnp.asarray(b0["adj"])
         params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x0, adj0)
         opt = optax.adamw(lr, weight_decay=wd) if wd else optax.adam(lr)
-        opt_state = opt.init(params)
+        opt_state = opt.init(params["params"])
         model = self.model
-
-        @jax.jit
-        def step(params, opt_state, x, adj):
-            def loss_fn(p):
-                return model.apply(p, x, adj, method="loss")
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        step = _flow_train_step(model, opt)
 
         history = []
         for epoch in range(max_epochs):
@@ -223,67 +246,41 @@ class GraphDF(Generator):
         final = backup if backup is not None else mol
         return final, 1 if total_resample == 0 else 0
 
-    # -- property optimization (REINFORCE) --------------------------------
+    # -- property optimization (PPO fine-tune) ----------------------------
     def train_prop_opt(self, prop: str = "plogp",
                        model_conf_dict: Optional[Dict] = None,
                        init_params=None, n_iters: int = 10,
                        batch_size: int = 8, lr: float = 1e-4,
+                       wd: float = 0.0,
                        atomic_num_list: Sequence[int] = (6, 7, 8, 9),
-                       temperature=(0.8, 0.8), seed: int = 0,
-                       verbose: bool = False):
-        """REINFORCE on the base-distribution logits: sample molecules,
-        reward = property score, maximize reward-weighted log-prob of the
-        taken actions (compact equivalent of graphflow_rl.py's PPO)."""
+                       temperature=(0.8, 0.1), rl_conf: Optional[Dict] = None,
+                       seed: int = 0, verbose: bool = False):
+        """PPO fine-tune of the pretrained flow toward a property score
+        (reference graphflow_rl.py:166-608: old-policy rollouts with
+        exploration temperature and valency penalties, decayed reward
+        shaping, per-step moving baseline, clipped surrogate)."""
+        from .rl import PPOFineTuner, RLConfig
         if model_conf_dict is not None and self.model is None:
             self.get_model("prop_opt", model_conf_dict, init_params)
         assert self.params is not None
-        fn = calculate_min_plogp if prop == "plogp" else qed_score
-        from ..chem import mol_to_dense
-        from ..chem.mol import bfs_order
-        model = self.model
-        opt = optax.adam(lr)
-        opt_state = opt.init(self.params)
-
-        @jax.jit
-        def rl_step(params, opt_state, x, adj, weights):
-            def loss_fn(p):
-                nll = model.apply(p, x, adj, method="nll")
-                return jnp.mean(weights * nll)
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        baseline = 0.0
+        if not isinstance(temperature, (tuple, list)):
+            temperature = (temperature, temperature)
+        cfg = RLConfig(property_type=prop, batch_size=batch_size,
+                       temperature=tuple(temperature),
+                       atom_list=tuple(atomic_num_list),
+                       **(rl_conf or {}))
+        tuner = PPOFineTuner(self.model, self.params, cfg, lr=lr, wd=wd)
         rng = np.random.default_rng(seed)
+        history = []
         for it in range(n_iters):
-            mols, _ = self.run_rand_gen(
-                n_mols=batch_size, atomic_num_list=atomic_num_list,
-                temperature=temperature, seed=int(rng.integers(1 << 31)))
-            xs, adjs, rewards = [], [], []
-            for m in mols:
-                r = (fn(m) if m is not None and check_chemical_validity(m)
-                     else -5.0)
-                try:
-                    x_, adj_ = mol_to_dense(m, list(atomic_num_list),
-                                            model.max_size, bfs_order(m))
-                except Exception:
-                    continue
-                xs.append(x_)
-                adjs.append(adj_)
-                rewards.append(r)
-            if not xs:
-                continue
-            rewards = np.asarray(rewards, np.float32)
-            baseline = 0.9 * baseline + 0.1 * float(rewards.mean())
-            # REINFORCE surrogate: maximize likelihood of above-baseline
-            # samples, minimize below-baseline ones
-            weights = jnp.asarray(rewards - baseline)
-            self.params, opt_state, loss = rl_step(
-                self.params, opt_state, jnp.asarray(np.stack(xs)),
-                jnp.asarray(np.stack(adjs)), weights)
+            reward, score, loss, _ = tuner.step(it, rng)
+            history.append({"iter": it, "reward": reward, "score": score,
+                            "loss": loss})
             if verbose:
-                print(f"iter {it}: reward {rewards.mean():.3f} "
-                      f"baseline {baseline:.3f} loss {float(loss):.4f}")
+                print(f"iter {it}: reward {reward:.3f} score {score:.3f} "
+                      f"loss {loss:.4f}")
+        self.params = tuner.variables
+        self.rl_history = history
         return self.params
 
     def run_prop_opt(self, n_mols: int = 100, prop: str = "plogp",
@@ -365,62 +362,52 @@ class GraphDF(Generator):
         return out
 
     def train_const_prop_opt(self, seed_mols: Sequence[Mol],
-                             n_iters: int = 5, lr: float = 1e-4,
-                             sim_threshold: float = 0.4,
+                             n_iters: int = 5, batch_size: int = 8,
+                             lr: float = 1e-4, sim_threshold: float = 0.4,
                              atomic_num_list: Sequence[int] = (6, 7, 8, 9),
-                             seed: int = 0, verbose: bool = False):
-        """REINFORCE on (plogp improvement) x (similarity >= threshold)
-        rewards over seed modifications (reference graphflow_con_rl.py's
-        objective, compact trainer)."""
-        from ..chem import mol_to_dense
-        from ..chem.mol import bfs_order
+                             temperature=(0.8, 0.1),
+                             rl_conf: Optional[Dict] = None, seed: int = 0,
+                             verbose: bool = False):
+        """Constrained PPO fine-tune: keep a BFS subgraph of each seed
+        molecule, regrow the rest, reward = plogp improvement when the
+        result stays similar enough (reference graphflow_con_rl.py:
+        reward_type 'imp', random modify_size cut per rollout). Tracks the
+        best (improvement, similarity) per seed in ``self.const_results``."""
+        from .rl import PPOFineTuner, RLConfig, make_seed_canvas
         assert self.params is not None
         model = self.model
-        opt = optax.adam(lr)
-        opt_state = opt.init(self.params)
-
-        @jax.jit
-        def rl_step(params, opt_state, x, adj, weights):
-            def loss_fn(p):
-                nll = model.apply(p, x, adj, method="nll")
-                return jnp.mean(weights * nll)
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
+        cfg = RLConfig(property_type="plogp", reward_type="imp",
+                       batch_size=batch_size,
+                       temperature=tuple(temperature),
+                       atom_list=tuple(atomic_num_list),
+                       **(rl_conf or {}))
+        tuner = PPOFineTuner(model, self.params, cfg, lr=lr)
         rng = np.random.default_rng(seed)
-        baseline = 0.0
+        best = {i: (0.0, None) for i in range(len(seed_mols))}
         for it in range(n_iters):
-            mods = self.run_const_prop_opt(
-                seed_mols, atomic_num_list,
-                seed=int(rng.integers(1 << 31)))
-            xs, adjs, rewards = [], [], []
-            for sm, mm in zip(seed_mols, mods):
-                if not check_chemical_validity(mm):
+            seeds = []
+            for sm in seed_mols:
+                cut = int(rng.integers(0, cfg.modify_size + 1))
+                keep = max(sm.num_atoms - cut, 1)
+                seeds.append(make_seed_canvas(
+                    sm, keep, cfg.atom_list, model.max_size,
+                    model.edge_unroll, model.node_dim, model.bond_dim))
+            reward, score, loss, metas = tuner.step(it, rng, seeds=seeds)
+            for b, (mol, sc, seed_sc) in enumerate(metas):
+                i = b % len(seed_mols)
+                if mol is None or sc is None or \
+                        not check_chemical_validity(mol):
                     continue
-                sim = reward_target_molecule_similarity(sm, mm)
-                imp = calculate_min_plogp(mm) - calculate_min_plogp(sm)
-                r = imp if sim >= sim_threshold else -2.0
-                try:
-                    x_, a_ = mol_to_dense(mm, list(atomic_num_list),
-                                          model.max_size, bfs_order(mm))
-                except Exception:
-                    continue
-                xs.append(x_)
-                adjs.append(a_)
-                rewards.append(r)
-            if not xs:
-                continue
-            rewards = np.asarray(rewards, np.float32)
-            baseline = 0.9 * baseline + 0.1 * float(rewards.mean())
-            self.params, opt_state, loss = rl_step(
-                self.params, opt_state, jnp.asarray(np.stack(xs)),
-                jnp.asarray(np.stack(adjs)),
-                jnp.asarray(rewards - baseline))
+                sim = reward_target_molecule_similarity(mol, seed_mols[i])
+                imp = sc - (seed_sc or 0.0)
+                if sim >= sim_threshold and imp > best[i][0]:
+                    best[i] = (imp, mol)
             if verbose:
-                print(f"const-opt iter {it}: reward {rewards.mean():.3f}")
+                print(f"const-opt iter {it}: reward {reward:.3f} "
+                      f"loss {loss:.4f}")
+        self.params = tuner.variables
+        self.const_results = best
         return self.params
-
 
 class GraphAF(GraphDF):
     """Continuous-flow generator (reference GraphAF/graphaf.py:10-395).
@@ -453,16 +440,9 @@ class GraphAF(GraphDF):
         key = jax.random.PRNGKey(seed)
         params = jax.jit(self.model.init)(key, x0, adj0, key)
         opt = optax.adamw(lr, weight_decay=wd) if wd else optax.adam(lr)
-        opt_state = opt.init(params)
+        opt_state = opt.init(params["params"])
         model = self.model
-
-        @jax.jit
-        def step(params, opt_state, x, adj, k):
-            def loss_fn(p):
-                return model.apply(p, x, adj, k, method="loss")
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        step = _flow_train_step(model, opt)
 
         history = []
         for epoch in range(max_epochs):

@@ -113,10 +113,38 @@ class MaskedGraphAF(nn.Module):
         return (x_deq, adj_deq), (logdet_n, logdet_e)
 
     def _node_embs_gen(self, x, adj):
+        # generation-time canvas embeddings: eval-mode (running) statistics
         h = self.rgcn(x, adj[:, :3])
         if self.use_bn:
-            h = self.bn(h)
+            h = self.bn(h, use_running_average=True)
         return h
+
+    def forward_rl_node(self, x, adj, action):
+        """(z, logdet) of a recorded node action on the current canvas
+        (eval-mode BN; reference GraphAF graphflow_rl forward_rl_node)."""
+        h = self._node_embs_gen(x, adj)
+        emb = jnp.sum(h, axis=1)
+        z = action
+        logdet = jnp.zeros(action.shape[0])
+        for i in range(self.num_flow_layer):
+            s, t = self.node_st[i](emb)
+            z = z * s + t
+            logdet += jnp.sum(jnp.log(jnp.abs(s) + 1e-12), axis=-1)
+        return z, logdet
+
+    def forward_rl_edge(self, x, adj, action, edge_index):
+        h = self._node_embs_gen(x, adj)
+        g = jnp.sum(h, axis=1)
+        B = x.shape[0]
+        sel = h[jnp.arange(B)[:, None], edge_index]
+        emb = jnp.concatenate([sel.reshape(B, -1), g], axis=-1)
+        z = action
+        logdet = jnp.zeros(action.shape[0])
+        for i in range(self.num_flow_layer):
+            s, t = self.edge_st[i](emb)
+            z = z * s + t
+            logdet += jnp.sum(jnp.log(jnp.abs(s) + 1e-12), axis=-1)
+        return z, logdet
 
     def reverse_node(self, x, adj, latent):
         h = self._node_embs_gen(x, adj)
@@ -203,3 +231,19 @@ class GraphFlowModelAF(nn.Module):
 
     def reverse_edge(self, x, adj, latent, edge_index):
         return self.flow_core.reverse_edge(x, adj, latent, edge_index)
+
+    def rl_node_ll(self, x, adj, action, node_step):
+        """Gaussian-base log-likelihood of recorded node actions [B]
+        (PPO fine-tune; reference GraphAF graphflow_rl)."""
+        del node_step  # continuous flow: base is a standard normal
+        act = action + 0.5 * self.deq_coeff
+        z, logdet = self.flow_core.forward_rl_node(x, adj, act)
+        return (-0.5 * (jnp.log(2 * jnp.pi) + z ** 2).sum(axis=-1)
+                + logdet)
+
+    def rl_edge_ll(self, x, adj, action, edge_index, edge_cnt):
+        del edge_cnt
+        act = action + 0.5 * self.deq_coeff
+        z, logdet = self.flow_core.forward_rl_edge(x, adj, act, edge_index)
+        return (-0.5 * (jnp.log(2 * jnp.pi) + z ** 2).sum(axis=-1)
+                + logdet)

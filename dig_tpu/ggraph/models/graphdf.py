@@ -48,16 +48,35 @@ class STDis(nn.Module):
 
 
 class BatchNormEmb(nn.Module):
-    """Feature-axis batch norm over node embeddings (batch statistics mode,
-    matching the reference's train-time BatchNorm1d at disgraphaf.py:31)."""
+    """Feature-axis batch norm over node embeddings with running statistics
+    (reference BatchNorm1d at disgraphaf.py:31: batch stats + running-mean
+    update in train mode, running averages at eval/generation time).
+
+    Running stats live in the ``batch_stats`` collection; training applies
+    must pass ``mutable=["batch_stats"]``; generation passes
+    ``use_running_average=True``."""
+
+    momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, h):
+    def __call__(self, h, use_running_average: bool = False):
         # h: [B, N, d] — normalize each channel over (B, N)
-        mean = jnp.mean(h, axis=(0, 1))
-        var = jnp.var(h, axis=(0, 1))
-        scale = self.param("scale", jax.nn.initializers.ones, (h.shape[-1],))
-        bias = self.param("bias", jax.nn.initializers.zeros, (h.shape[-1],))
+        d = h.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(d, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(d, jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(h, axis=(0, 1))
+            var = jnp.var(h, axis=(0, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        scale = self.param("scale", jax.nn.initializers.ones, (d,))
+        bias = self.param("bias", jax.nn.initializers.zeros, (d,))
         return (h - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
 
 
@@ -85,9 +104,10 @@ class DisGraphAF(nn.Module):
                         for _ in range(self.num_flow_layer)]
 
     def _node_embs(self, x, adj):
+        # generation-time canvas embeddings: eval-mode (running) statistics
         h = self.rgcn(x, adj[:, :3])
         if self.use_bn:
-            h = self.bn(h)
+            h = self.bn(h, use_running_average=True)
         return h
 
     def __call__(self, x, adj, x_deq, adj_deq):
@@ -142,6 +162,24 @@ class DisGraphAF(nn.Module):
         B = x.shape[0]
         sel = h[jnp.arange(B)[:, None], edge_index]      # [B, 2, d]
         return jnp.concatenate([sel.reshape(B, -1), g], axis=-1)
+
+    def forward_rl_node(self, x, adj, action):
+        """z for a recorded node action on the current canvas (eval-mode
+        BN, reference graphflow_rl.py forward_rl_node)."""
+        emb = self._embs_node(x, adj)
+        z = action
+        for i in range(self.num_flow_layer):
+            t = self.node_st[i](emb)
+            z = one_hot_add(z, t)
+        return z
+
+    def forward_rl_edge(self, x, adj, action, edge_index):
+        emb = self._embs_edge(x, adj, edge_index)
+        z = action
+        for i in range(self.num_flow_layer):
+            t = self.edge_st[i](emb)
+            z = one_hot_add(z, t)
+        return z
 
     def reverse_node(self, x, adj, latent):
         emb = self._embs_node(x, adj)
@@ -225,3 +263,15 @@ class GraphFlowModelDF(nn.Module):
 
     def reverse_edge(self, x, adj, latent, edge_index):
         return self.flow_core.reverse_edge(x, adj, latent, edge_index)
+
+    def rl_node_ll(self, x, adj, action, node_step):
+        """Log-likelihood of recorded node actions [B] (PPO fine-tune,
+        reference graphflow_rl.py:560-566)."""
+        z = self.flow_core.forward_rl_node(x, adj, action)
+        lp = jax.nn.log_softmax(self.node_base_log_probs, axis=-1)[node_step]
+        return jnp.sum(z * lp, axis=-1)
+
+    def rl_edge_ll(self, x, adj, action, edge_index, edge_cnt):
+        z = self.flow_core.forward_rl_edge(x, adj, action, edge_index)
+        lp = jax.nn.log_softmax(self.edge_base_log_probs, axis=-1)[edge_cnt]
+        return jnp.sum(z * lp, axis=-1)

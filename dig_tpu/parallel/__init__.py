@@ -25,7 +25,8 @@ from .partition import partition_graph, PartitionedGraph, build_partitions
 from .halo import halo_exchange_sum, partitioned_spmm, build_exchange_plan
 from .dp import make_dp_train_step, make_dp_eval_step
 from .gp import (GPGraph, prepare_gp_graph, slab_layout,
-                 make_gp_train_step)
+                 make_gp_train_step, make_gp_engine,
+                 GPLocalGraph, unslab_layout)
 
 __all__ = [
     "make_mesh", "shard_graph_batch", "replicate", "data_parallel_sharding",
@@ -34,4 +35,5 @@ __all__ = [
     "halo_exchange_sum", "partitioned_spmm", "build_exchange_plan",
     "make_dp_train_step", "make_dp_eval_step",
     "GPGraph", "prepare_gp_graph", "slab_layout", "make_gp_train_step",
+    "make_gp_engine", "GPLocalGraph", "unslab_layout",
 ]

@@ -1,16 +1,25 @@
-"""Graph-parallel training: partitioned GCN over a device mesh.
+"""Graph-parallel training: partitioned flax models over a device mesh.
 
 The north-star scaling path (SURVEY.md §5, BASELINE.json): a graph too big
 for one chip is METIS-partitioned into per-device node slabs; each layer
 aggregates local edges while boundary node features move over ICI via the
 precomputed all-to-all halo plan (:mod:`dig_tpu.parallel.halo`), and the
 only other collective is the gradient psum. This is the shard_map analog
-of lsgraph's historical-embedding machinery with *exact* (non-stale)
-boundary features.
+of lsgraph's historical-embedding machinery
+(``dig/lsgraph/method/GraphFMOB/models/base.py:91-187``) with *exact*
+(non-stale) boundary features.
+
+Design: a **generic engine** (:func:`make_gp_engine`) wraps any flax
+module with the signature ``module(x_local, g: GPLocalGraph, halo_fn)``
+— the module calls ``halo_fn(h) -> [H, F]`` whenever it needs boundary
+rows for the next aggregation, so models of any depth/architecture train
+partitioned (see :mod:`dig_tpu.parallel.gp_models`: GCN, GCNII, PNA and
+flat SchNet). Inside jit the exchange is an ``all_to_all`` with no data
+dependency on the local segment-sum, so XLA can overlap them.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Optional
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +38,26 @@ class GPGraph(NamedTuple):
     """Device-ready partitioned graph (all arrays lead with the part axis
     and shard over it)."""
 
-    senders: jnp.ndarray        # [P, E]
-    receivers: jnp.ndarray      # [P, E]
+    senders: jnp.ndarray        # [P, E]  (index into [C + H) local space)
+    receivers: jnp.ndarray      # [P, E]  (< C)
     edge_mask: jnp.ndarray      # [P, E]
     node_mask: jnp.ndarray      # [P, C]
+    deg_out: jnp.ndarray        # [P, C]  global out-degree of owned nodes
     send_slot: jnp.ndarray      # [P, P, K]
     send_mask: jnp.ndarray      # [P, P, K]
     recv_pos: jnp.ndarray       # [P, P, K]
+
+
+class GPLocalGraph(NamedTuple):
+    """One shard's view (no leading part axis) handed to GP modules."""
+
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_mask: jnp.ndarray
+    node_mask: jnp.ndarray
+    deg_out: jnp.ndarray        # [C] global out-degree (sender side spans
+    # parts, so it cannot be recovered from local edges alone)
+    num_local: int              # C (static)
 
 
 def prepare_gp_graph(senders, receivers, num_nodes: int,
@@ -45,10 +67,15 @@ def prepare_gp_graph(senders, receivers, num_nodes: int,
     pg = build_partitions(np.asarray(senders), np.asarray(receivers),
                           num_nodes, num_parts)
     plan = build_exchange_plan(pg)
+    deg_out = np.bincount(np.asarray(senders),
+                          minlength=num_nodes).astype(np.float32)
+    deg_out_slab = slab_layout(deg_out, pg.perm, num_parts,
+                               pg.nodes_per_part)
     g = GPGraph(
         senders=jnp.asarray(pg.senders), receivers=jnp.asarray(pg.receivers),
         edge_mask=jnp.asarray(pg.edge_mask),
         node_mask=jnp.asarray(pg.node_mask),
+        deg_out=jnp.asarray(deg_out_slab),
         send_slot=jnp.asarray(plan.send_slot),
         send_mask=jnp.asarray(plan.send_mask),
         recv_pos=jnp.asarray(plan.recv_pos))
@@ -63,94 +90,135 @@ def slab_layout(x: np.ndarray, perm: np.ndarray, num_parts: int,
     return out.reshape((num_parts, nodes_per_part) + x.shape[1:])
 
 
-def make_gp_train_step(mesh: Mesh, num_layers: int, hidden: int,
-                       num_classes: int, in_dim: int, halo_size: int,
-                       nodes_per_part: int,
-                       lr: float = 1e-2, axis: str = "data"):
-    """Returns (init_fn, step_fn, predict_fn) for a partitioned GCN.
+def unslab_layout(xs: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """[P, C, ...] slab array -> [N, ...] original node order."""
+    flat = np.asarray(xs).reshape((-1,) + xs.shape[2:])
+    return flat[perm]
 
-    step_fn(params, opt_state, x [P,C,F], y [P,C], train_mask [P,C])
-    runs fully under shard_map: per layer a local masked aggregation with
-    concurrent halo all-to-all, then replicated dense transforms; grads are
-    psum'd so updates are identical on all shards.
+
+# ---------------------------------------------------------------------------
+# Generic engine
+# ---------------------------------------------------------------------------
+
+def _local(g: GPGraph, C: int) -> GPLocalGraph:
+    return GPLocalGraph(senders=g.senders[0], receivers=g.receivers[0],
+                        edge_mask=g.edge_mask[0], node_mask=g.node_mask[0],
+                        deg_out=g.deg_out[0], num_local=C)
+
+
+def _stub_halo(halo_size: int):
+    """Shape-faithful halo stand-in for host-side flax init."""
+    def fn(h):
+        return jnp.zeros((halo_size,) + h.shape[1:], h.dtype)
+    return fn
+
+
+def node_class_loss(out, y, mask):
+    ls = optax.softmax_cross_entropy_with_integer_labels(out, y)
+    return jnp.sum(jnp.where(mask, ls, 0.0)), jnp.sum(mask)
+
+
+def node_reg_loss(out, y, mask):
+    ls = jnp.abs(out[..., 0] - y)
+    return jnp.sum(jnp.where(mask, ls, 0.0)), jnp.sum(mask)
+
+
+def make_gp_engine(mesh: Mesh, module, opt, halo_size: int,
+                   nodes_per_part: int,
+                   loss_fn: Callable = node_class_loss,
+                   axis: str = "data", extra_halo_inputs: int = 0):
+    """Graph-parallel trainer for any ``module(x, g, halo_fn)`` flax model.
+
+    Returns ``(init_fn, step_fn, predict_fn)``:
+      init_fn(key, x0 [P,C,F], g)                -> (params, opt_state)
+      step_fn(params, opt_state, g, x, y, mask)  -> (params, opt_state,
+                                                     loss, out [P,C,...])
+      predict_fn(params, g, x)                   -> out [P,C,...]
+        (a forward-only shard_map — no optimizer involvement)
+
+    The module may call ``halo_fn`` any number of times (once per layer);
+    each call is one all_to_all over ICI.
     """
     C = nodes_per_part
     H = halo_size
-    opt = optax.adam(lr)
 
-    def init_fn(key):
-        keys = jax.random.split(key, num_layers + 1)
-        params = {}
-        d = in_dim
-        for li in range(num_layers):
-            out_d = num_classes if li == num_layers - 1 else hidden
-            params[f"w{li}"] = xavier(keys[li], (d, out_d))
-            params[f"b{li}"] = jnp.zeros((out_d,))
-            d = out_d
-        return params, opt.init(params)
+    def init_fn(key, x0, g: GPGraph):
+        gl = _local(jax.tree.map(lambda a: a[:1], g), C)
+        return module.init(key, jnp.asarray(x0[0]), gl, _stub_halo(H))
 
-    def layer(x, params, li, g: GPGraph):
-        # local normalized aggregation + halo features via a2a
-        deg = jax.ops.segment_sum(
-            jnp.where(g.edge_mask[0], 1.0, 0.0), g.receivers[0],
-            num_segments=C) + 1.0
-        halo = halo_exchange_a2a(x, g.send_slot[0], g.send_mask[0],
-                                 g.recv_pos[0], H, axis)
-        feats = jnp.concatenate([x, halo], axis=0)
-        msgs = feats[g.senders[0]]
-        msgs = jnp.where(g.edge_mask[0][:, None], msgs, 0.0)
-        agg = jax.ops.segment_sum(msgs, g.receivers[0], num_segments=C)
-        h = (agg + x) / deg[:, None]
-        h = h @ params[f"w{li}"] + params[f"b{li}"]
-        return h
+    def _make_halo_fn(g: GPGraph):
+        def halo_fn(h):
+            return halo_exchange_a2a(h, g.send_slot[0], g.send_mask[0],
+                                     g.recv_pos[0], H, axis)
+        return halo_fn
 
-    def shard_fn(params, opt_state, g: GPGraph, x, y, train_mask):
-        x = x[0]
-        y = y[0]
-        tm = train_mask[0]
-        nm = g.node_mask[0]
+    def shard_train(params, opt_state, g: GPGraph, x, y, mask):
+        gl = _local(g, C)
+        halo_fn = _make_halo_fn(g)
 
-        def loss_fn(p):
-            h = x
-            for li in range(num_layers):
-                h = layer(h, p, li, g)
-                if li < num_layers - 1:
-                    h = jax.nn.relu(h)
-            ls = optax.softmax_cross_entropy_with_integer_labels(h, y)
-            m = tm & nm
-            loc = jnp.sum(jnp.where(m, ls, 0.0))
-            cnt = jnp.sum(m)
-            return loc, (cnt, h)
+        def loss(p):
+            out = module.apply(p, x[0], gl, halo_fn)
+            loc, cnt = loss_fn(out, y[0], mask[0] & gl.node_mask)
+            return loc, (cnt, out)
 
-        (loc, (cnt, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        (loc, (cnt, out)), grads = jax.value_and_grad(
+            loss, has_aux=True)(params)
         tot = jax.lax.psum(loc, axis)
         n = jnp.maximum(jax.lax.psum(cnt, axis), 1)
         grads = jax.tree_util.tree_map(
             lambda gr: jax.lax.psum(gr, axis) / n, grads)
-        loss = tot / n
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, logits[None]
+        return params, opt_state, tot / n, out[None]
+
+    def shard_fwd(params, g: GPGraph, x):
+        gl = _local(g, C)
+        out = module.apply(params, x[0], gl, _make_halo_fn(g))
+        return out[None]
 
     gp_spec = GPGraph(senders=P(axis), receivers=P(axis), edge_mask=P(axis),
-                      node_mask=P(axis), send_slot=P(axis),
-                      send_mask=P(axis), recv_pos=P(axis))
+                      node_mask=P(axis), deg_out=P(axis),
+                      send_slot=P(axis), send_mask=P(axis),
+                      recv_pos=P(axis))
 
-    smapped = shard_map(
-        shard_fn, mesh=mesh,
+    step = jax.jit(shard_map(
+        shard_train, mesh=mesh,
         in_specs=(P(), P(), gp_spec, P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(), P(axis)),
         check_vma=False,
-    )
-    step = jax.jit(smapped, donate_argnums=(0, 1))
+    ), donate_argnums=(0, 1))
 
-    def predict_fn(params, g, x):
-        dummy_os = opt.init(params)
-        _, _, _, logits = step(jax.tree_util.tree_map(lambda v: v, params),
-                               dummy_os, g,
-                               x, jnp.zeros(x.shape[:2], jnp.int32),
-                               jnp.zeros(x.shape[:2], bool))
-        return logits
+    predict = jax.jit(shard_map(
+        shard_fwd, mesh=mesh,
+        in_specs=(P(), gp_spec, P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    ))
 
-    return init_fn, step, predict_fn
+    return init_fn, step, predict
+
+
+# ---------------------------------------------------------------------------
+# Back-compat toy wrapper (partitioned GCN; tests/test_parallel.py)
+# ---------------------------------------------------------------------------
+
+def make_gp_train_step(mesh: Mesh, num_layers: int, hidden: int,
+                       num_classes: int, in_dim: int, halo_size: int,
+                       nodes_per_part: int,
+                       lr: float = 1e-2, axis: str = "data"):
+    """(init_fn, step_fn, predict_fn) for a partitioned GCN — now a thin
+    wrapper over :func:`make_gp_engine` + :class:`gp_models.GPGCN`."""
+    from .gp_models import GPGCN
+
+    module = GPGCN(features=tuple([hidden] * (num_layers - 1)
+                                  + [num_classes]))
+    opt = optax.adam(lr)
+    init_fn, step, predict = make_gp_engine(
+        mesh, module, opt, halo_size, nodes_per_part,
+        loss_fn=node_class_loss, axis=axis)
+
+    def init_with_opt(key, x0, g):
+        params = init_fn(key, x0, g)
+        return params, opt.init(params)
+
+    return init_with_opt, step, predict

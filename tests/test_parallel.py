@@ -169,12 +169,15 @@ def test_graph_parallel_training(mesh):
     ys = jnp.asarray(slab_layout(y, perm, N_DEV, C))
     tm = jnp.asarray(slab_layout(data["train_mask"], perm, N_DEV, C))
     te = slab_layout(data["test_mask"], perm, N_DEV, C)
-    init_fn, step, _ = make_gp_train_step(mesh, 2, 32, 4, x.shape[1], H, C,
-                                          lr=1e-2)
-    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    init_fn, step, predict = make_gp_train_step(
+        mesh, 2, 32, 4, x.shape[1], H, C, lr=1e-2)
+    params, opt_state = init_fn(jax.random.PRNGKey(0), xs, gp)
     for _ in range(50):
         params, opt_state, loss, logits = step(params, opt_state, gp, xs,
                                                ys, tm)
     pred = np.argmax(np.asarray(logits), -1)
     acc = float((pred[te] == np.asarray(ys)[te]).mean())
     assert acc > 0.7
+    # forward-only predict path matches the training logits
+    out = np.asarray(predict(params, gp, xs))
+    np.testing.assert_allclose(np.argmax(out, -1), pred)
