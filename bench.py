@@ -91,13 +91,13 @@ def bench_spherenet():
     from dig_tpu.models import SphereNet
     from dig_tpu.ops.radius import radius_graph_flat
 
-    G, n_steps = 64, 10
+    G, n_steps = 16, 10
     mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
                                max_atoms=29, box=6.0)
     loader = MoleculeLoader(mols, G, n_node_pad=G * 29, shuffle=True, seed=0)
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
-                      num_spherical=3, num_radial=6, max_edges=16384,
-                      max_in_degree=32, segment_eb=2048)
+                      num_spherical=3, num_radial=6, max_edges=4096,
+                      max_in_degree=32, segment_eb=1024)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]
@@ -124,7 +124,7 @@ def bench_spherenet():
     def count_edges(stacked):
         def one(b):
             _, _, em = radius_graph_flat(b.nodes["pos"], b.node_graph,
-                                         b.node_mask, 5.0, 16384)
+                                         b.node_mask, 5.0, 4096)
             return jnp.sum(em)
         return jnp.sum(jax.vmap(one)(stacked))
 
