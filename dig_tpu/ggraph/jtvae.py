@@ -453,6 +453,28 @@ class JTVAE(Generator):
         self.params = params
         return history
 
+    def train_assembler(self, smiles: Optional[Sequence[str]] = None,
+                        epochs: int = 30, verbose: bool = False):
+        """Train the JTMPN candidate scorer on junction fixtures from the
+        training molecules (the reference's assm loss; see jtmpn.py)."""
+        from .jtmpn import build_assembly_fixtures, train_assembler
+        mols = getattr(self, "_mols", None)
+        if mols is None:
+            mols = [mol_from_smiles(s) for s in (smiles or [])]
+        fixtures = build_assembly_fixtures(mols)
+        if not fixtures:
+            self.scorer = self.scorer_params = None
+            return None
+        self.scorer, self.scorer_params = train_assembler(
+            fixtures, epochs=epochs, verbose=verbose)
+        self._assembly_fixtures = fixtures
+        return fixtures
+
+    def _assemble(self, frags):
+        from .jtmpn import assemble_scored
+        return assemble_scored(frags, getattr(self, "scorer", None),
+                               getattr(self, "scorer_params", None))
+
     def run_rand_gen(self, n_mols: int = 20, seed: int = 0,
                      max_steps: int = 8) -> List[Mol]:
         assert self.params is not None
@@ -475,7 +497,7 @@ class JTVAE(Generator):
                 if topos[b, s] < 0.5 and s > 0:
                     break
                 frags.append(self.vocab.fragments[int(labels[b, s])])
-            mol = assemble(frags)
+            mol = self._assemble(frags)
             out.append(mol if mol is not None else Mol())
         return out
 
@@ -496,4 +518,4 @@ class JTVAE(Generator):
             if t < 0.5:
                 break
             frags.append(self.vocab.fragments[int(l)])
-        return assemble(frags)
+        return self._assemble(frags)

@@ -163,3 +163,36 @@ def test_graphaf_prop_opt_and_ckpt(tiny_conf, loader, tmp_path):
                   model_conf_dict=tiny_conf)
     mols, _ = af2.run_rand_gen(n_mols=2, temperature=0.75)
     assert len(mols) == 2
+
+
+def test_jtmpn_assembly_beats_greedy():
+    """VERDICT item 7 'Done' criterion: JTMPN-scored assembly accuracy
+    beats greedy first-feasible stitching on a fixed fixture set."""
+    from dig_tpu.chem import mol_from_smiles
+    from dig_tpu.ggraph.jtmpn import (assembly_accuracy,
+                                      build_assembly_fixtures,
+                                      greedy_accuracy, train_assembler)
+    smiles = ["CCO", "CCCC", "c1ccccc1C", "CC(C)O", "c1ccccc1O",
+              "CCOC", "CC(N)C", "c1ccncc1C", "CCCN", "CC(C)(C)O"] * 2
+    mols = [mol_from_smiles(s) for s in smiles]
+    fixtures = build_assembly_fixtures(mols)
+    assert len(fixtures) >= 5
+    scorer, params = train_assembler(fixtures, epochs=40, seed=0)
+    acc = assembly_accuracy(scorer, params, fixtures)
+    greedy = greedy_accuracy(fixtures)
+    assert acc > greedy, (acc, greedy)
+
+
+def test_jtmpn_merge_semantics():
+    from dig_tpu.chem import mol_from_smiles
+    from dig_tpu.chem.mol import canonical_hash
+    from dig_tpu.ggraph.jtmpn import enumerate_candidates, merge_at
+    # merging CO onto CC at matching carbons gives CCO-like molecules
+    mol = mol_from_smiles("CC")
+    frag = mol_from_smiles("CO")
+    m = merge_at(mol, frag, 0, 0)
+    assert m is not None and m.num_atoms == 3
+    cands = enumerate_candidates(mol, frag)
+    assert len(cands) >= 1
+    hashes = {canonical_hash(c) for c in cands}
+    assert len(hashes) == len(cands)  # deduped
