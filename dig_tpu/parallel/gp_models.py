@@ -33,17 +33,55 @@ from .gp import GPLocalGraph
 xavier = jax.nn.initializers.glorot_uniform()
 
 
+def overlapped_gather(h, halo_fn, g: GPLocalGraph, scale=None):
+    """Edge-message gather with compute/comm overlap structure.
+
+    Splits edges into local (sender < C) and halo (sender >= C) sets so
+    the local segment-sum has NO data dependency on the all_to_all —
+    XLA's async collective scheduler can run the exchange underneath the
+    local aggregation (the AsyncIOPool overlap of the reference,
+    ``dig/lsgraph/method/GraphFMOB/models/base.py:147-187``, expressed as
+    dependence structure instead of streams). Returns ``agg [C, F]``.
+
+    ``scale``: optional per-edge scalar multiplier (e.g. GCN norm).
+    """
+    C = g.num_local
+    halo = halo_fn(h)                       # a2a issued; nothing below
+    H = halo.shape[0]                       # depends on it until msg_h
+    is_local = g.senders < C
+    lmask = g.edge_mask & is_local
+    hmask = g.edge_mask & ~is_local
+    s_local = jnp.clip(g.senders, 0, C - 1)
+    s_halo = jnp.clip(g.senders - C, 0, max(H - 1, 0))
+    msg_l = h[s_local]
+    msg_h = halo[s_halo]
+    if scale is not None:
+        # (scale_local, scale_halo) keeps the local chain free of any
+        # halo-derived values; a single tensor is applied to both
+        sl, sh = scale if isinstance(scale, tuple) else (scale, scale)
+        msg_l = msg_l * sl[:, None]
+        msg_h = msg_h * sh[:, None]
+    agg = segment_sum(msg_l, g.receivers, C, mask=lmask)
+    return agg + segment_sum(msg_h, g.receivers, C, mask=hmask)
+
+
 def _gcn_norm(g: GPLocalGraph, halo_fn):
-    # in-degree is complete locally (edges live on the receiver's part);
-    # out-degree is the precomputed global count, halo rows fetched once
+    """GCN normalization split into (local, halo) per-edge tensors so the
+    local coefficients carry no halo dependency (overlap structure).
+
+    In-degree is complete locally (edges live on the receiver's part);
+    out-degree is the precomputed global count, halo rows fetched once."""
+    C = g.num_local
     ones = jnp.where(g.edge_mask, 1.0, 0.0)
-    deg_in = segment_sum(ones, g.receivers, g.num_local) + 1.0
+    deg_in = segment_sum(ones, g.receivers, C) + 1.0
     do_own = jax.lax.rsqrt(g.deg_out + 1.0)
-    do_full = jnp.concatenate(
-        [do_own, halo_fn(do_own[:, None])[:, 0]], axis=0)
+    do_halo = halo_fn(do_own[:, None])[:, 0]
     di = jax.lax.rsqrt(deg_in)
-    coef = di[g.receivers] * do_full[g.senders]
-    return jnp.where(g.edge_mask, coef, 0.0), di * di
+    s_local = jnp.clip(g.senders, 0, C - 1)
+    s_halo = jnp.clip(g.senders - C, 0, max(do_halo.shape[0] - 1, 0))
+    coef_l = di[g.receivers] * do_own[s_local]
+    coef_h = di[g.receivers] * do_halo[s_halo]
+    return (coef_l, coef_h), di * di
 
 
 class GPGCN(nn.Module):
@@ -58,9 +96,7 @@ class GPGCN(nn.Module):
                           C) + 1.0
         h = x
         for li, f in enumerate(self.features):
-            feats = jnp.concatenate([h, halo_fn(h)], axis=0)
-            msgs = jnp.where(g.edge_mask[:, None], feats[g.senders], 0.0)
-            agg = segment_sum(msgs, g.receivers, C)
+            agg = overlapped_gather(h, halo_fn, g)
             h = (agg + h) / deg[:, None]
             h = nn.Dense(f, kernel_init=xavier)(h)
             if li < len(self.features) - 1:
@@ -82,12 +118,10 @@ class GPGCN2(nn.Module):
         C = g.num_local
         h = jax.nn.relu(nn.Dense(self.hidden, kernel_init=xavier)(x))
         h0 = h
+        coef, self_coef = _gcn_norm(g, halo_fn)
         for _ in range(self.num_layers):
-            feats = jnp.concatenate([h, halo_fn(h)], axis=0)
-            coef, self_coef = _gcn_norm(g, halo_fn)
-            msgs = jnp.where(g.edge_mask[:, None],
-                             feats[g.senders] * coef[:, None], 0.0)
-            agg = segment_sum(msgs, g.receivers, C) + self_coef[:, None] * h
+            agg = overlapped_gather(h, halo_fn, g, scale=coef) \
+                + self_coef[:, None] * h
             z = (1 - self.alpha) * agg + self.alpha * h0
             w = nn.Dense(self.hidden, use_bias=False, kernel_init=xavier)(z)
             h = jax.nn.relu((1 - self.beta) * z + self.beta * w)
@@ -95,7 +129,12 @@ class GPGCN2(nn.Module):
 
 
 class GPPNA(nn.Module):
-    """Partitioned Principal Neighborhood Aggregation."""
+    """Partitioned Principal Neighborhood Aggregation.
+
+    Uses the concat form (halo gathered before aggregating): PNA's
+    min/max/std aggregators cannot split into independent local/halo
+    partial reductions as cheaply as sums, so this model trades the
+    overlap for simplicity."""
 
     hidden: int
     out_dim: int
@@ -151,16 +190,30 @@ class GPSchNet(nn.Module):
         C = g.num_local
         z = x[:, 0].astype(jnp.int32)
         pos = x[:, 1:4]
-        pos_full = jnp.concatenate([pos, halo_fn(pos)], axis=0)
-        d = jnp.linalg.norm(pos_full[g.senders] -
-                            pos_full[jnp.clip(g.receivers, 0, C - 1)] + 1e-9,
-                            axis=-1)
-        rbf = gaussian_rbf(d, 0.0, self.cutoff, self.num_gaussians)
-        gate = cosine_cutoff(d, self.cutoff) * \
-            jnp.where(g.edge_mask, 1.0, 0.0) * \
-            jnp.where(d < self.cutoff, 1.0, 0.0)
+        # positions are exchanged once; local-edge geometry/filters are
+        # computed from OWNED positions only, so every local-edge chain is
+        # independent of the exchange (overlap structure; halo-edge
+        # tensors are the only consumers of pos_halo)
+        pos_halo = halo_fn(pos)
+        is_local = g.senders < C
+        s_local = jnp.clip(g.senders, 0, C - 1)
+        s_halo = jnp.clip(g.senders - C, 0, max(pos_halo.shape[0] - 1, 0))
+        p_recv = pos[g.receivers]
+        d_l = jnp.linalg.norm(pos[s_local] - p_recv + 1e-9, axis=-1)
+        d_h = jnp.linalg.norm(pos_halo[s_halo] - p_recv + 1e-9, axis=-1)
 
-        # halo atoms' species embeddings: exchange the embedded features
+        def edge_filters(d, mask):
+            rbf = gaussian_rbf(d, 0.0, self.cutoff, self.num_gaussians)
+            gate = cosine_cutoff(d, self.cutoff) * \
+                jnp.where(mask, 1.0, 0.0) * \
+                jnp.where(d < self.cutoff, 1.0, 0.0)
+            return rbf, gate
+
+        lmask = g.edge_mask & is_local
+        hmask = g.edge_mask & ~is_local
+        rbf_l, gate_l = edge_filters(d_l, lmask)
+        rbf_h, gate_h = edge_filters(d_h, hmask)
+
         v = nn.Embed(100, self.hidden_channels,
                      embedding_init=jax.nn.initializers.uniform(
                          scale=jnp.sqrt(3.0)))(z)
@@ -168,12 +221,16 @@ class GPSchNet(nn.Module):
         for _ in range(self.num_layers):
             vj = nn.Dense(self.num_filters, use_bias=False,
                           kernel_init=xavier)(v)
-            vj_full = jnp.concatenate([vj, halo_fn(vj)], axis=0)
-            W = MLP([self.num_filters, self.num_filters],
-                    act=shifted_softplus, kernel_init=xavier)(rbf)
-            e = vj_full[g.senders] * W * gate[:, None]
-            agg = segment_sum(e, g.receivers, C,
-                              mask=g.edge_mask)
+            # a2a issued; the local filter+aggregate below does not use it
+            vj_halo = halo_fn(vj)
+            fmlp = MLP([self.num_filters, self.num_filters],
+                       act=shifted_softplus, kernel_init=xavier)
+            Wg_l = fmlp(rbf_l) * gate_l[:, None]
+            Wg_h = fmlp(rbf_h) * gate_h[:, None]   # shared params
+            agg = segment_sum(vj[s_local] * Wg_l, g.receivers, C,
+                              mask=lmask)
+            agg = agg + segment_sum(vj_halo[s_halo] * Wg_h, g.receivers,
+                                    C, mask=hmask)
             out = nn.Dense(self.hidden_channels, kernel_init=xavier)(agg)
             out = shifted_softplus(out)
             out = nn.Dense(self.hidden_channels, kernel_init=xavier)(out)

