@@ -38,7 +38,8 @@ from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import radius_graph_flat
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, edge_distances,
-                            torsion_angles, triplet_geometry)
+                            expand_kj, torsion_angles, triplet_geometry,
+                            triplets_to_edges)
 
 go2 = glorot_orthogonal(2.0)
 zeros = jax.nn.initializers.zeros
@@ -164,7 +165,7 @@ class UpdateE(nn.Module):
 
         s = D(self.basis_emb_size_angle)(sbf)
         s = D(self.int_emb_size)(s)
-        x_kj = x_kj[trip.idx_kj] * s
+        x_kj = expand_kj(x_kj, trip) * s  # masked gather, scatter-free VJP
 
         if self.use_torsion:
             t = D(self.basis_emb_size_torsion)(tbf)
@@ -172,8 +173,9 @@ class UpdateE(nn.Module):
             x_kj = x_kj * t
 
         num_edges = e1.shape[0]
-        x_kj = segment_sum(x_kj, trip.idx_ji, num_edges, mask=trip.mask,
-                           indices_are_sorted=True)
+        # Triplets are [E, D] row-major, so the idx_ji reduction is a dense
+        # reshape-sum (rows already zeroed by expand_kj's mask).
+        x_kj = triplets_to_edges(x_kj, num_edges)
         x_kj = self.act(D(self.hidden_channels)(x_kj))
 
         e1_new = x_ji + x_kj

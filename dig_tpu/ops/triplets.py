@@ -18,7 +18,7 @@ segment-sums over triplets pass ``indices_are_sorted=True``.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,8 @@ class Triplets(NamedTuple):
     mask: Array     # [T] bool
     in_edges: Array  # [N, D] incoming-edge table (for torsion reference set)
     in_mask: Array   # [N, D]
+    kj_bwd_idx: Array   # [E, D] flat triplet ids t with idx_kj[t] == e
+    kj_bwd_mask: Array  # [E, D] valid slots of kj_bwd_idx
 
 
 def build_in_edge_table(receivers: Array, edge_mask: Array, num_nodes: int,
@@ -42,6 +44,9 @@ def build_in_edge_table(receivers: Array, edge_mask: Array, num_nodes: int,
     """Capped per-node incoming edge table: ``in_edges[n, d]`` = id of the
     d-th edge with receiver n (order = ascending edge id), ``in_mask`` marks
     real slots. Overflow beyond ``max_in_degree`` is dropped.
+
+    Also returns ``edge_rank [E]``: each edge's slot index within its
+    receiver's row (``max_in_degree`` for padding/overflow edges).
     """
     E = receivers.shape[0]
     D = max_in_degree
@@ -59,15 +64,32 @@ def build_in_edge_table(receivers: Array, edge_mask: Array, num_nodes: int,
         order.astype(jnp.int32), mode="drop")
     in_mask = jnp.zeros(num_nodes * D, bool).at[flat_idx].set(
         True, mode="drop")
-    return in_edges.reshape(num_nodes, D), in_mask.reshape(num_nodes, D)
+    edge_rank = jnp.full(E, D, jnp.int32).at[order].set(
+        jnp.where(valid, rank, D).astype(jnp.int32))
+    return in_edges.reshape(num_nodes, D), in_mask.reshape(num_nodes, D), \
+        edge_rank
 
 
 def build_triplets(senders: Array, receivers: Array, edge_mask: Array,
                    num_nodes: int, max_in_degree: int) -> Triplets:
-    """All (k->j->i) triplets with k != i, shapes [E * D]."""
+    """All (k->j->i) triplets with k != i, shapes [E * D].
+
+    Also builds the *reverse* index table ``kj_bwd_idx[f, d2]`` enumerating
+    the flat triplet rows whose ``idx_kj`` is edge f — the gather indices
+    for :func:`expand_kj`'s scatter-free VJP. Triplet t = (e, d) references
+    f exactly when ``senders[e] == receivers[f]`` and d is f's slot in its
+    receiver's in-table, so the consumers of f are
+    ``out_edges[receivers[f], :] * D + edge_rank[f]``. Exact whenever every
+    node's degree fits ``max_in_degree`` (radius graphs are symmetric, so
+    the out-table overflows only when the in-table — and hence the forward
+    — already dropped triplets at that node).
+    """
     E = senders.shape[0]
     D = max_in_degree
-    in_edges, in_mask = build_in_edge_table(receivers, edge_mask, num_nodes, D)
+    in_edges, in_mask, edge_rank = build_in_edge_table(
+        receivers, edge_mask, num_nodes, D)
+    out_edges, out_mask, _ = build_in_edge_table(
+        senders, edge_mask, num_nodes, D)
 
     j = senders          # edge e: j -> i
     i = receivers
@@ -79,6 +101,12 @@ def build_triplets(senders: Array, receivers: Array, edge_mask: Array,
     idx_ji = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[:, None], (E, D))
     idx_i = jnp.broadcast_to(i[:, None], (E, D))
     idx_j = jnp.broadcast_to(j[:, None], (E, D))
+
+    oe = out_edges[receivers]            # [E, D] edges e with sender recv(f)
+    om = out_mask[receivers]
+    f_ok = edge_mask & (edge_rank < D)
+    kj_bwd_mask = om & f_ok[:, None]
+    kj_bwd_idx = jnp.where(kj_bwd_mask, oe * D + edge_rank[:, None], 0)
 
     def flat(x):
         return x.reshape(E * D)
@@ -94,7 +122,52 @@ def build_triplets(senders: Array, receivers: Array, edge_mask: Array,
         mask=m,
         in_edges=in_edges,
         in_mask=in_mask,
+        kj_bwd_idx=kj_bwd_idx,
+        kj_bwd_mask=kj_bwd_mask,
     )
+
+
+def expand_kj(x: Array, trip: Triplets) -> Array:
+    """Gather per-edge rows ``x [E, F]`` to triplet rows ``[T, F]`` via
+    ``idx_kj``, zeroing masked triplets — with a scatter-free custom VJP.
+
+    The plain gather's adjoint is a T-row scatter-add into ``[E, F]``,
+    which XLA lowers to a serialized loop on TPU (the reference hits the
+    same aggregation via ``torch_scatter`` on GPU atomics,
+    ``dig/threedgraph/method/spherenet/spherenet.py:171``). Here the
+    adjoint is itself a dense gather over the precomputed reverse table
+    ``trip.kj_bwd_idx`` plus a sum over the degree axis — MXU/VPU-friendly
+    and deterministic.
+    """
+    @jax.custom_vjp
+    def f(x):
+        return jnp.where(trip.mask[:, None], x[trip.idx_kj], 0)
+
+    def fwd(x):
+        return f(x), ()
+
+    def bwd(_, ct):
+        ct = jnp.where(trip.mask[:, None], ct, 0)
+        g = ct[trip.kj_bwd_idx]                       # [E, D, F]
+        g = jnp.where(trip.kj_bwd_mask[:, :, None], g, 0)
+        return (g.sum(axis=1),)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
+def triplets_to_edges(data: Array, num_edges: int,
+                      mask: Optional[Array] = None) -> Array:
+    """Sum triplet rows onto their ji edge: the exact replacement for
+    ``segment_sum(data, trip.idx_ji, E)``. :func:`build_triplets` lays
+    triplets out ``[E, D]`` row-major (``idx_ji[e*D+d] == e``), so the
+    reduction is a dense reshape-sum — no scatter reaches XLA at all.
+    """
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
+        data = jnp.where(m, data, 0)
+    D = data.shape[0] // num_edges
+    return data.reshape(num_edges, D, *data.shape[1:]).sum(axis=1)
 
 
 def edge_distances(pos: Array, senders: Array, receivers: Array,

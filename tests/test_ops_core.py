@@ -204,3 +204,65 @@ def test_edge_distance_grads_finite():
 
     g = jax.grad(f)(pos)
     assert np.all(np.isfinite(np.asarray(g)))
+
+def test_expand_kj_and_triplets_to_edges_match_gather_scatter():
+    """expand_kj fwd == masked gather; its custom VJP and the reshape-sum
+    triplets_to_edges must match the plain gather/segment_sum formulation
+    exactly (same terms, dense order)."""
+    from dig_tpu.ops.triplets import expand_kj, triplets_to_edges
+
+    rng = np.random.default_rng(7)
+    pos, graph_id, mask = _make_batch(rng, n=20, g=2)
+    senders, receivers, emask = radius_graph_flat(
+        jnp.asarray(pos), jnp.asarray(graph_id), jnp.asarray(mask),
+        2.5, max_edges=128)
+    E = senders.shape[0]
+    trip = build_triplets(senders, receivers, emask, num_nodes=len(pos),
+                          max_in_degree=16)
+    x = jnp.asarray(rng.normal(size=(E, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(trip.mask.shape[0], 6)).astype(np.float32))
+
+    def via_custom(x):
+        return jnp.sum(triplets_to_edges(expand_kj(x, trip) * w, E) ** 2)
+
+    def via_scatter(x):
+        t = jnp.where(trip.mask[:, None], x[trip.idx_kj], 0) * w
+        return jnp.sum(segment_sum(t, trip.idx_ji, E, mask=trip.mask) ** 2)
+
+    np.testing.assert_allclose(float(via_custom(x)), float(via_scatter(x)),
+                               rtol=1e-5)
+    g1 = jax.grad(via_custom)(x)
+    g2 = jax.grad(via_scatter)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(g1).sum()) > 0
+
+
+def test_expand_kj_vjp_exact_under_edge_cap_truncation():
+    """With the edge list truncated by max_edges, the reverse table still
+    enumerates exactly the surviving triplets (out-deg <= in-deg cap)."""
+    from dig_tpu.ops.triplets import expand_kj, triplets_to_edges
+
+    rng = np.random.default_rng(8)
+    pos = rng.normal(size=(12, 3)).astype(np.float32) * 0.8  # dense clump
+    graph_id = np.zeros(12, np.int32)
+    mask = np.ones(12, bool)
+    senders, receivers, emask = radius_graph_flat(
+        jnp.asarray(pos), jnp.asarray(graph_id), jnp.asarray(mask),
+        3.0, max_edges=64)  # truncates: full clump would need 132
+    E = senders.shape[0]
+    trip = build_triplets(senders, receivers, emask, num_nodes=12,
+                          max_in_degree=12)
+    x = jnp.asarray(rng.normal(size=(E, 4)).astype(np.float32))
+
+    def via_custom(x):
+        return jnp.sum(triplets_to_edges(expand_kj(x, trip), E))
+
+    def via_scatter(x):
+        t = jnp.where(trip.mask[:, None], x[trip.idx_kj], 0)
+        return jnp.sum(segment_sum(t, trip.idx_ji, E, mask=trip.mask))
+
+    g1 = jax.grad(via_custom)(x)
+    g2 = jax.grad(via_scatter)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
