@@ -263,7 +263,7 @@ class _SphericalMPNN(nn.Module):
         sbf = AngleEmb(self.num_spherical, self.num_radial,
                        self.cutoff)(dist, angle, trip.idx_kj)
         if self.use_torsion:
-            phi = torsion_angles(pos, senders, trip)
+            phi = torsion_angles(pos, trip)
             tbf = TorsionEmb(self.num_spherical, self.num_radial,
                              self.cutoff)(dist, angle, phi, trip.idx_kj)
         else:

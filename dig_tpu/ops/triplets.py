@@ -37,6 +37,9 @@ class Triplets(NamedTuple):
     in_mask: Array   # [N, D]
     kj_bwd_idx: Array   # [E, D] flat triplet ids t with idx_kj[t] == e
     kj_bwd_mask: Array  # [E, D] valid slots of kj_bwd_idx
+    senders: Array      # [E] the edge list the triplets were built from
+    receivers: Array    # [E]
+    edge_mask: Array    # [E]
 
 
 def build_in_edge_table(receivers: Array, edge_mask: Array, num_nodes: int,
@@ -124,6 +127,9 @@ def build_triplets(senders: Array, receivers: Array, edge_mask: Array,
         in_mask=in_mask,
         kj_bwd_idx=kj_bwd_idx,
         kj_bwd_mask=kj_bwd_mask,
+        senders=senders,
+        receivers=receivers,
+        edge_mask=edge_mask,
     )
 
 
@@ -178,46 +184,86 @@ def edge_distances(pos: Array, senders: Array, receivers: Array,
     return jnp.where(edge_mask, d, 1.0)  # pad with 1.0: safe for log/div
 
 
+def _components(pos: Array):
+    """Split [N, 3] positions into three [N] arrays. All downstream geometry
+    is componentwise (structure-of-arrays): a trailing dim of 3 pads to the
+    TPU's 128-lane minor dimension (~42x physical blowup) and jnp.cross on
+    it defeats fusion, so 3-vectors never appear as arrays here."""
+    return pos[:, 0], pos[:, 1], pos[:, 2]
+
+
+def _edge_frames(pos: Array, trip: Triplets):
+    """Per-edge geometry in the [E, D] block layout.
+
+    Every triplet (e, d) shares edge e's ji vector and draws its k/n
+    neighbors from the SAME in-neighbor table row of j = senders[e], so all
+    geometry is computed on per-node tables gathered per edge — E row
+    fetches instead of T = E*D (or T*D) scalar gathers, the difference
+    between ~4k and ~4M gather rows on TPU.
+
+    Returns componentwise arrays: ji [E] (x,y,z), jk [E, D] (x,y,z),
+    kn_tab [N, D] neighbor node ids, and nbr_mask [E, D].
+    """
+    px, py, pz = _components(pos)
+    j, i = trip.senders, trip.receivers
+    jix, jiy, jiz = px[i] - px[j], py[i] - py[j], pz[i] - pz[j]   # [E]
+    kn_tab = jnp.where(trip.in_mask, trip.senders[trip.in_edges], 0)  # [N, D]
+    kx_t, ky_t, kz_t = px[kn_tab], py[kn_tab], pz[kn_tab]         # [N, D]
+    jkx = kx_t[j] - px[j][:, None]                                 # [E, D]
+    jky = ky_t[j] - py[j][:, None]
+    jkz = kz_t[j] - pz[j][:, None]
+    nbr_mask = trip.in_mask[j] & trip.edge_mask[:, None]           # [E, D]
+    return (jix, jiy, jiz), (jkx, jky, jkz), kn_tab, nbr_mask
+
+
 def triplet_geometry(pos: Array, trip: Triplets, eps: float = 1e-12) -> Array:
     """Angle at j between j->i and j->k for each triplet, in [0, pi].
 
     Same atan2(|cross|, dot) formulation as the reference
-    (``geometric_computing.py:44-48``) — stable near 0 and pi.
+    (``geometric_computing.py:44-48``) — stable near 0 and pi — evaluated
+    on the [E, D] block layout (see :func:`_edge_frames`).
     """
-    pos_ji = pos[trip.idx_i] - pos[trip.idx_j]
-    pos_jk = pos[trip.idx_k] - pos[trip.idx_j]
-    a = jnp.sum(pos_ji * pos_jk, axis=-1)
-    cross = jnp.cross(pos_ji, pos_jk)
-    b = jnp.sqrt(jnp.maximum(jnp.sum(cross * cross, axis=-1), eps))
-    angle = jnp.arctan2(b, a)
+    (jix, jiy, jiz), (jkx, jky, jkz), _, _ = _edge_frames(pos, trip)
+    a = jix[:, None] * jkx + jiy[:, None] * jky + jiz[:, None] * jkz
+    cx = jiy[:, None] * jkz - jiz[:, None] * jky
+    cy = jiz[:, None] * jkx - jix[:, None] * jkz
+    cz = jix[:, None] * jky - jiy[:, None] * jkx
+    b = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz, eps))
+    angle = jnp.arctan2(b, a).reshape(-1)
     return jnp.where(trip.mask, angle, 0.0)
 
 
-def torsion_angles(pos: Array, senders: Array, trip: Triplets,
-                   eps: float = 1e-12) -> Array:
+def torsion_angles(pos: Array, trip: Triplets, eps: float = 1e-12) -> Array:
     """Per-triplet torsion: min over reference neighbors k_n of j (k_n != i)
     of the dihedral angle between planes (ji, jk) and (ji, j k_n), mapped to
     (0, 2*pi] (reference: ``geometric_computing.py:51-76``).
+
+    Both k and the candidates n index the SAME per-edge plane table
+    P[e, s] = ji x (s-th in-neighbor of j), so the [E, D, D] dihedral grid
+    is three outer products of [E, D] arrays — it fuses into the min-reduce
+    with no T- or T*D-sized gathers anywhere.
     """
-    T = trip.idx_ji.shape[0]
-    D = trip.in_edges.shape[1]
-    # Candidate reference neighbors: all in-edges of j.
-    cand_e = trip.in_edges[trip.idx_j]                 # [T, D]
-    cand_valid = trip.in_mask[trip.idx_j] & trip.mask[:, None]
-    k_n = jnp.where(cand_valid, senders[cand_e], 0)    # [T, D]
-    cand_valid = cand_valid & (k_n != trip.idx_i[:, None])
+    (jix, jiy, jiz), (jkx, jky, jkz), kn_tab, nbr_mask = _edge_frames(
+        pos, trip)
+    j, i = trip.senders, trip.receivers
+    dist_ji = jnp.sqrt(jnp.maximum(jix * jix + jiy * jiy + jiz * jiz, eps))
 
-    pos_j = pos[trip.idx_j]                            # [T, 3]
-    pos_ji = pos[trip.idx_i] - pos_j
-    pos_jk = pos[trip.idx_k] - pos_j                   # "j0" in reference
-    pos_jn = pos[k_n] - pos_j[:, None, :]              # [T, D, 3]
+    # Plane table P[e, s] = ji[e] x jk[e, s]  ([E, D] per component).
+    p_x = jiy[:, None] * jkz - jiz[:, None] * jky
+    p_y = jiz[:, None] * jkx - jix[:, None] * jkz
+    p_z = jix[:, None] * jky - jiy[:, None] * jkx
 
-    dist_ji = jnp.sqrt(jnp.maximum(jnp.sum(pos_ji * pos_ji, -1), eps))
-    plane1 = jnp.cross(pos_ji, pos_jk)                 # [T, 3]
-    plane2 = jnp.cross(pos_ji[:, None, :], pos_jn)     # [T, D, 3]
-    a = jnp.sum(plane1[:, None, :] * plane2, -1)       # [T, D]
-    b = jnp.sum(jnp.cross(plane1[:, None, :], plane2) * pos_ji[:, None, :], -1)
-    b = b / dist_ji[:, None]
+    def outer(u, v):
+        return u[:, :, None] * v[:, None, :]
+
+    # a[e, d, n] = P[e,d] . P[e,n]; b = (P[e,d] x P[e,n]) . ji / |ji|
+    a = outer(p_x, p_x) + outer(p_y, p_y) + outer(p_z, p_z)
+    b = ((outer(p_y, p_z) - outer(p_z, p_y)) * jix[:, None, None]
+         + (outer(p_z, p_x) - outer(p_x, p_z)) * jiy[:, None, None]
+         + (outer(p_x, p_y) - outer(p_y, p_x)) * jiz[:, None, None])
+    b = b / dist_ji[:, None, None]
+
+    cand_valid = nbr_mask & (kn_tab[j] != i[:, None])   # [E, D] over n
     # Double-where: arctan2(0, 0) has a NaN gradient which leaks through a
     # single jnp.where; sanitize degenerate/padded inputs *before* arctan2.
     degenerate = (a * a + b * b) < eps
@@ -229,8 +275,8 @@ def torsion_angles(pos: Array, senders: Array, trip: Triplets,
     # eager arithmetic (-> 2*pi in the reference) but XLA fusion can leave
     # b ~ 1e-9, which would otherwise land on the wrong branch.
     tors = jnp.where(tors <= 1e-6, tors + 2.0 * jnp.pi, tors)
-    tors = jnp.where(cand_valid, tors, 1e30)
-    out = jnp.min(tors, axis=1)
+    tors = jnp.where(cand_valid[:, None, :], tors, 1e30)
+    out = jnp.min(tors, axis=2).reshape(-1)             # [E, D] -> [T]
     # Empty candidate sets cannot occur for valid triplets (k itself is
     # always a candidate), but guard padding rows:
     return jnp.where(trip.mask & (out < 1e29), out, 0.0)

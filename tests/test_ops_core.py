@@ -154,7 +154,7 @@ def test_torsion_matches_bruteforce():
         cutoff, max_edges=256)
     trip = build_triplets(senders, receivers, emask, num_nodes=len(pos),
                           max_in_degree=16)
-    tors = np.asarray(torsion_angles(jnp.asarray(pos), senders, trip))
+    tors = np.asarray(torsion_angles(jnp.asarray(pos), trip))
     s, r, em = np.asarray(senders), np.asarray(receivers), np.asarray(emask)
     edges = [(int(s[e]), int(r[e])) for e in range(len(s))]
     want = _brute_torsion(pos, edges, em, np.asarray(trip.idx_kj),
