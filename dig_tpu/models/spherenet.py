@@ -35,10 +35,11 @@ import numpy as np
 from ..graph import GraphBatch
 from ..nn.init import glorot_orthogonal
 from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
-from ..ops.radius import radius_graph_flat
+from ..ops.radius import radius_graph_flat, radius_graph_nk
 from ..ops.segment import segment_sum, segment_sum_sorted
-from ..ops.triplets import (Triplets, build_triplets, edge_distances,
-                            expand_kj, torsion_angles, triplet_geometry,
+from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
+                            edge_distances, edges_to_nodes_nk, expand_kj,
+                            torsion_angles, triplet_geometry,
                             triplets_to_edges)
 
 go2 = glorot_orthogonal(2.0)
@@ -201,10 +202,13 @@ class UpdateV(nn.Module):
     act: callable = swish
     segment_eb: int = 0  # >0: Pallas sorted-CSR aggregation (receivers are
     # row-major sorted by ops/radius.adjacency_to_edges)
+    nk: bool = False     # edges are [N, K] slots: aggregate by reshape-sum
 
     @nn.compact
     def __call__(self, e2, receivers, edge_mask, num_nodes):
-        if self.segment_eb > 0:
+        if self.nk:
+            v = edges_to_nodes_nk(e2, num_nodes, mask=edge_mask)
+        elif self.segment_eb > 0:
             v = segment_sum_sorted(e2, receivers, num_nodes, mask=edge_mask,
                                    max_edges_per_block=self.segment_eb)
         else:
@@ -242,6 +246,9 @@ class _SphericalMPNN(nn.Module):
     max_edges: int = 4096
     max_in_degree: int = 24
     segment_eb: int = 0  # >0: Pallas sorted-CSR edge->node aggregation
+    nk_degree: int = 0   # >0: [N, K] neighbor-table layout (radius_graph_nk)
+    # instead of the compacted edge list — zero sorts in the graph build and
+    # a reshape-sum edge->node aggregation; K doubles as max_in_degree.
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -250,12 +257,19 @@ class _SphericalMPNN(nn.Module):
         N = g.num_nodes
         G = g.num_graphs
 
-        senders, receivers, edge_mask = radius_graph_flat(
-            pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges)
-
-        dist = edge_distances(pos, senders, receivers, edge_mask)
-        trip = build_triplets(senders, receivers, edge_mask, N,
-                              self.max_in_degree)
+        if self.nk_degree > 0:
+            nkg = radius_graph_nk(pos, g.node_graph, g.node_mask,
+                                  self.cutoff, self.nk_degree)
+            senders, receivers, edge_mask = (nkg.senders, nkg.receivers,
+                                             nkg.edge_mask)
+            dist = edge_distances(pos, senders, receivers, edge_mask)
+            trip = build_triplets_nk(nkg)
+        else:
+            senders, receivers, edge_mask = radius_graph_flat(
+                pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges)
+            dist = edge_distances(pos, senders, receivers, edge_mask)
+            trip = build_triplets(senders, receivers, edge_mask, N,
+                                  self.max_in_degree)
         angle = triplet_geometry(pos, trip)
 
         rbf0 = DistEmb(self.num_radial, self.cutoff,
@@ -272,8 +286,8 @@ class _SphericalMPNN(nn.Module):
         e1, e2 = InitBlock(self.hidden_channels)(z, rbf0, senders, receivers)
         v = UpdateV(self.hidden_channels, self.out_emb_channels,
                     self.out_channels, self.num_output_layers,
-                    self.output_init,
-                    segment_eb=self.segment_eb)(e2, receivers, edge_mask, N)
+                    self.output_init, segment_eb=self.segment_eb,
+                    nk=self.nk_degree > 0)(e2, receivers, edge_mask, N)
         u = segment_sum(v, g.node_graph, G, mask=g.node_mask)
 
         for _ in range(self.num_layers):
@@ -286,9 +300,8 @@ class _SphericalMPNN(nn.Module):
                              self.num_after_skip)(e1, rbf0, sbf, tbf, trip)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,
                         self.out_channels, self.num_output_layers,
-                        self.output_init,
-                        segment_eb=self.segment_eb)(e2, receivers,
-                                                    edge_mask, N)
+                        self.output_init, segment_eb=self.segment_eb,
+                        nk=self.nk_degree > 0)(e2, receivers, edge_mask, N)
             u = u + segment_sum(v, g.node_graph, G, mask=g.node_mask)
         return u
 

@@ -12,7 +12,7 @@ a few thousand padded nodes and is itself one big MXU-friendly matmul
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +86,72 @@ def adjacency_to_edges(adj: Array, max_edges: int):
     receivers = jnp.where(edge_mask, i_idx, 0)
     senders = jnp.where(edge_mask, j_idx, 0)
     return senders, receivers, edge_mask
+
+
+class NKGraph(NamedTuple):
+    """Radius graph in the [N, K] neighbor-table layout.
+
+    Edge e = i*K + d is the d-th in-edge of receiver i (sender
+    ``nbr_idx[i, d]``), so receivers are sorted by construction, the
+    in-edge table is ``arange(N*K)``, and edge->node aggregation is a
+    dense ``[N, K, F]`` reshape-sum. ``rev_edge[i, d]`` is the id of the
+    reverse edge (graph symmetrized, see :func:`radius_graph_nk`).
+    """
+    nbr_idx: Array    # [N, K] sender node of each slot
+    nbr_mask: Array   # [N, K]
+    rev_edge: Array   # [N, K] edge id of the reverse edge
+    senders: Array    # [N*K] flat edge list view
+    receivers: Array  # [N*K]
+    edge_mask: Array  # [N*K]
+
+
+def radius_graph_nk(pos: Array, node_graph: Array, node_mask: Array,
+                    cutoff: float, k: int) -> NKGraph:
+    """Radius graph as a per-node nearest-K table — the TPU-native layout.
+
+    The compacted-list builder (:func:`adjacency_to_edges`) costs a full
+    N^2-element sort; here each receiver row is a ``top_k`` over its
+    distance row and every table (in-edges, reverse edges, triplet
+    reverse index) is pure index arithmetic. Size ``k`` like
+    ``max_in_degree``: at or above the true max degree nothing is
+    dropped. Under truncation the graph is *symmetrized* (an edge is
+    kept only with its reverse) so pair interactions stay symmetric and
+    gather/scatter-free VJPs stay exact.
+
+    When to use (measured, TPU v5e-class chip, SphereNet train step on
+    16x29-atom padded molecules): the compacted list wins 16 vs 78 ms at
+    K=32 because E = N*K carries every downstream edge/triplet matmul and
+    only ~28% of NK slots are real there. NK wins only when slot
+    occupancy is high — near-regular degree (kNN graphs: exactly K real
+    slots per node) or node padding tight against true degree. Prefer
+    :func:`radius_graph_flat` unless edges/(N*K) is close to 1.
+    """
+    N = pos.shape[0]
+    d2, valid = _pairwise_same_graph(pos, node_graph, node_mask)
+    adj = valid & (d2 < cutoff * cutoff)
+    score = jnp.where(adj, -d2, -jnp.inf)
+    vals, idx = jax.lax.top_k(score, k)                    # [N, K]
+    nbr_mask = vals > -jnp.inf
+    nbr_idx = jnp.where(nbr_mask, idx, 0).astype(jnp.int32)
+
+    # kept[i, j]: j survived i's top-k. Symmetrize: keep only mutual edges.
+    kept = jnp.any((nbr_idx[:, :, None] == jnp.arange(N)[None, None, :])
+                   & nbr_mask[:, :, None], axis=1)          # [N, N]
+    mutual = kept[nbr_idx, jnp.arange(N)[:, None]]          # [N, K]
+    nbr_mask = nbr_mask & mutual
+
+    # rev_slot[i, d]: position of i in (nbr_idx[i,d])'s own row.
+    nbr_of_m = nbr_idx[nbr_idx]                             # [N, K, K]
+    hit = ((nbr_of_m == jnp.arange(N)[:, None, None])
+           & nbr_mask[nbr_idx])  # padded slots hold node 0: exclude them
+    rev_slot = jnp.argmax(hit, axis=2).astype(jnp.int32)
+    rev_edge = jnp.where(nbr_mask, nbr_idx * k + rev_slot, 0)
+
+    receivers = jnp.repeat(jnp.arange(N, dtype=jnp.int32), k)
+    return NKGraph(nbr_idx=nbr_idx, nbr_mask=nbr_mask, rev_edge=rev_edge,
+                   senders=nbr_idx.reshape(-1),
+                   receivers=jnp.where(nbr_mask.reshape(-1), receivers, 0),
+                   edge_mask=nbr_mask.reshape(-1))
 
 
 def radius_overflow(pos: Array, node_graph: Array, node_mask: Array,

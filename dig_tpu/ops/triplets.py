@@ -133,6 +133,81 @@ def build_triplets(senders: Array, receivers: Array, edge_mask: Array,
     )
 
 
+def build_triplets_nk(g) -> Triplets:
+    """Triplets for an :class:`~dig_tpu.ops.radius.NKGraph` — zero sorts.
+
+    In the [N, K] layout edge e = i*K + d, so every table the general
+    :func:`build_triplets` constructs with a sort + rank-in-segment is
+    closed-form index arithmetic:
+
+    * in-edge table of node n  = ``arange(n*K, n*K + K)`` masked by
+      ``nbr_mask[n]``;
+    * out-edge table of node n = ``rev_edge[n]`` (graph symmetrized);
+    * ``edge_rank[e] = e % K``.
+
+    The result is bit-compatible with :class:`Triplets` (D = K), so the
+    whole downstream pipeline (expand_kj, triplets_to_edges, geometry)
+    runs unchanged.
+    """
+    N, K = g.nbr_idx.shape
+    E = N * K
+    in_edges = jnp.arange(E, dtype=jnp.int32).reshape(N, K)
+    in_mask = g.nbr_mask
+
+    j = g.senders                          # [E] = nbr_idx.reshape(-1)
+    i = g.receivers
+    kj = j[:, None] * K + jnp.arange(K, dtype=jnp.int32)[None, :]  # [E, K]
+    kj_valid = g.nbr_mask[j] & g.edge_mask[:, None]
+    k = jnp.where(kj_valid, g.nbr_idx[j], 0)
+    mask = kj_valid & (k != i[:, None])
+
+    idx_ji = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[:, None],
+                              (E, K))
+    # Consumers of edge f (as a kj edge): triplets (e, d) with
+    # senders[e] == receivers[f] and d == f % K — i.e. e ranges over the
+    # out-edges of node receivers[f], which are exactly rev_edge[recv(f)].
+    oe = g.rev_edge[i]                     # [E, K]
+    om = g.nbr_mask[i]
+    kj_bwd_mask = om & g.edge_mask[:, None]
+    rank = jnp.arange(E, dtype=jnp.int32) % K
+    kj_bwd_idx = jnp.where(kj_bwd_mask, oe * K + rank[:, None], 0)
+
+    def flat(x):
+        return x.reshape(E * K)
+
+    z = jnp.zeros((), jnp.int32)
+    m = flat(mask)
+    return Triplets(
+        idx_kj=jnp.where(m, flat(kj), z),
+        idx_ji=jnp.where(m, flat(idx_ji), z),
+        idx_k=jnp.where(m, flat(k), z),
+        idx_j=jnp.where(m, flat(jnp.broadcast_to(j[:, None], (E, K))), z),
+        idx_i=jnp.where(m, flat(jnp.broadcast_to(i[:, None], (E, K))), z),
+        mask=m,
+        in_edges=in_edges,
+        in_mask=in_mask,
+        kj_bwd_idx=kj_bwd_idx,
+        kj_bwd_mask=kj_bwd_mask,
+        senders=g.senders,
+        receivers=g.receivers,
+        edge_mask=g.edge_mask,
+    )
+
+
+def edges_to_nodes_nk(data: Array, num_nodes: int,
+                      mask: Optional[Array] = None) -> Array:
+    """Edge->node aggregation in the [N, K] layout: receivers[e] == e // K,
+    so ``segment_sum(data, receivers, N)`` is a dense reshape-sum — the
+    NK-layout replacement for the scatter at
+    ``dig/threedgraph/method/schnet/schnet.py:55`` / ``spherenet.py:211``.
+    """
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
+        data = jnp.where(m, data, 0)
+    K = data.shape[0] // num_nodes
+    return data.reshape(num_nodes, K, *data.shape[1:]).sum(axis=1)
+
+
 def expand_kj(x: Array, trip: Triplets) -> Array:
     """Gather per-edge rows ``x [E, F]`` to triplet rows ``[T, F]`` via
     ``idx_kj``, zeroing masked triplets — with a scatter-free custom VJP.

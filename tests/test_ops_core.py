@@ -266,3 +266,117 @@ def test_expand_kj_vjp_exact_under_edge_cap_truncation():
     g2 = jax.grad(via_scatter)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+
+def _random_conformation(rng, n_graphs=3, n_pad=24, box=4.0):
+    node_graph = np.zeros(n_pad, np.int32)
+    node_mask = np.zeros(n_pad, bool)
+    sizes = rng.integers(4, n_pad // n_graphs, n_graphs)
+    off = 0
+    for g, s in enumerate(sizes):
+        node_graph[off:off + s] = g
+        node_mask[off:off + s] = True
+        off += s
+    pos = rng.normal(size=(n_pad, 3)).astype(np.float32) * box / 3
+    return (jnp.asarray(pos), jnp.asarray(node_graph), jnp.asarray(node_mask))
+
+
+def test_radius_graph_nk_matches_flat():
+    """At K >= max degree, the NK layout holds exactly the radius graph."""
+    from dig_tpu.ops.radius import radius_graph_flat, radius_graph_nk
+    rng = np.random.default_rng(7)
+    pos, node_graph, node_mask = _random_conformation(rng)
+    cutoff = 2.5
+    s, r, em = radius_graph_flat(pos, node_graph, node_mask, cutoff, 600)
+    want = {(int(a), int(b)) for a, b, m in
+            zip(np.asarray(s), np.asarray(r), np.asarray(em)) if m}
+
+    g = radius_graph_nk(pos, node_graph, node_mask, cutoff, k=24)
+    got = {(int(a), int(b)) for a, b, m in
+           zip(np.asarray(g.senders), np.asarray(g.receivers),
+               np.asarray(g.edge_mask)) if m}
+    assert got == want and len(want) > 20
+
+    # rev_edge really points at the reverse edge.
+    sa, ra, ma = (np.asarray(g.senders), np.asarray(g.receivers),
+                  np.asarray(g.edge_mask))
+    rev = np.asarray(g.rev_edge).reshape(-1)
+    for e in np.nonzero(ma)[0]:
+        f = rev[e]
+        assert ma[f] and sa[f] == ra[e] and ra[f] == sa[e]
+
+
+def test_radius_graph_nk_symmetric_under_truncation():
+    from dig_tpu.ops.radius import radius_graph_nk
+    rng = np.random.default_rng(3)
+    pos, node_graph, node_mask = _random_conformation(rng, box=2.0)
+    g = radius_graph_nk(pos, node_graph, node_mask, cutoff=4.0, k=5)
+    edges = {(int(a), int(b)) for a, b, m in
+             zip(np.asarray(g.senders), np.asarray(g.receivers),
+                 np.asarray(g.edge_mask)) if m}
+    assert len(edges) > 10
+    for a, b in edges:
+        assert (b, a) in edges
+    rev = np.asarray(g.rev_edge).reshape(-1)
+    ma = np.asarray(g.edge_mask)
+    sa, ra = np.asarray(g.senders), np.asarray(g.receivers)
+    for e in np.nonzero(ma)[0]:
+        f = rev[e]
+        assert ma[f] and sa[f] == ra[e] and ra[f] == sa[e]
+
+
+def test_build_triplets_nk_matches_general():
+    """NK triplets == general build_triplets on the same edge set."""
+    from dig_tpu.ops.radius import radius_graph_nk
+    from dig_tpu.ops.triplets import build_triplets_nk, edges_to_nodes_nk
+    rng = np.random.default_rng(11)
+    pos, node_graph, node_mask = _random_conformation(rng)
+    K = 24
+    g = radius_graph_nk(pos, node_graph, node_mask, cutoff=2.5, k=K)
+    trip = build_triplets_nk(g)
+
+    # Oracle: triplet set {(k, j, i)} with k != i over the masked edges.
+    sa, ra, ma = (np.asarray(g.senders), np.asarray(g.receivers),
+                  np.asarray(g.edge_mask))
+    want = set()
+    for e in np.nonzero(ma)[0]:
+        j, i = sa[e], ra[e]
+        for f in np.nonzero(ma)[0]:
+            if ra[f] == j and sa[f] != i:
+                want.add((int(sa[f]), int(j), int(i)))
+    got = {(int(k), int(j), int(i)) for k, j, i, m in
+           zip(np.asarray(trip.idx_k), np.asarray(trip.idx_j),
+               np.asarray(trip.idx_i), np.asarray(trip.mask)) if m}
+    assert got == want and len(want) > 20
+
+    # idx_kj / idx_ji consistency with the flat edge list.
+    tk = np.asarray(trip.idx_kj); tj = np.asarray(trip.idx_ji)
+    tm = np.asarray(trip.mask)
+    for t in np.nonzero(tm)[0]:
+        assert ma[tk[t]] and ma[tj[t]]
+        assert ra[tk[t]] == sa[tj[t]]      # k->j feeds j->i
+
+    # expand_kj VJP exactness in the NK layout.
+    from dig_tpu.ops.triplets import expand_kj
+    E = len(sa)
+    x = jnp.asarray(rng.normal(size=(E, 8)).astype(np.float32))
+
+    def f_custom(x):
+        return jnp.sum(jnp.sin(expand_kj(x, trip)))
+
+    def f_plain(x):
+        gathered = jnp.where(trip.mask[:, None], x[trip.idx_kj], 0)
+        return jnp.sum(jnp.sin(gathered))
+
+    g1 = jax.grad(f_custom)(x)
+    g2 = jax.grad(f_plain)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+    # edges_to_nodes_nk == segment_sum over receivers.
+    from dig_tpu.ops.segment import segment_sum
+    data = jnp.asarray(rng.normal(size=(E, 8)).astype(np.float32))
+    a = edges_to_nodes_nk(data, pos.shape[0], mask=g.edge_mask)
+    b = segment_sum(data, g.receivers, pos.shape[0], mask=g.edge_mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)

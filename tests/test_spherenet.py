@@ -186,3 +186,25 @@ def test_pronet_levels_and_training():
     grads = jax.grad(lambda p: jnp.sum(model.apply(p, g)))(params)
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+def test_spherenet_nk_layout_matches_flat():
+    """nk_degree (the [N, K] neighbor-table layout) computes the same
+    energies as the compacted edge list when neither layout truncates."""
+    import jax
+    import numpy as np
+    from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+    from dig_tpu.models import SphereNet
+
+    mols = synthetic_molecules(8, seed=0, min_atoms=8, max_atoms=14, box=6.0)
+    loader = MoleculeLoader(mols, 8, n_node_pad=8 * 14, shuffle=False, seed=0)
+    b = next(iter(loader))
+    kw = dict(cutoff=5.0, num_layers=2, hidden_channels=32, num_spherical=3,
+              num_radial=4, out_emb_channels=32, int_emb_size=16)
+    m_flat = SphereNet(max_edges=2048, max_in_degree=16, **kw)
+    m_nk = SphereNet(nk_degree=16, **kw)
+    p = jax.jit(m_flat.init)(jax.random.PRNGKey(0), b)
+    u1 = np.asarray(jax.jit(m_flat.apply)(p, b))
+    u2 = np.asarray(jax.jit(m_nk.apply)(p, b))
+    # f32 summation-order noise over ~1500 edges: ~3e-4 relative.
+    np.testing.assert_allclose(u1, u2, rtol=1e-3, atol=1e-3)
