@@ -1,11 +1,13 @@
 """Headline benchmark: edges/s/chip through the molecular aggregation path.
 
 Trains SchNet (the BASELINE.json flagship: 4 interactions, 128 hidden) on
-synthetic QM9-shaped molecules in the *packed* dense layout: molecules are
-bin-packed several-per-32-atom-slot (graph_dense.pack_molecules), the
-radius graph is a masked dense adjacency, and the continuous-filter
-convolution runs in the fused Pallas kernel (ops/pallas_cfconv.py) that
-keeps the [G, n, n, F] filter entirely in VMEM. An edge = one real
+synthetic QM9-shaped molecules in the *size-bucketed* packed dense layout:
+each molecule rides the smallest slot size in {16, 24, 32} that fits it
+(datasets.BucketedDenseMoleculeLoader; pair compute is quadratic in slot
+size, so bucketing lifts real-pair occupancy ~0.40 -> ~0.61), the radius
+graph is a masked dense adjacency, and the continuous-filter convolution
+runs in the fused Pallas kernel (ops/pallas_cfconv.py) that keeps the
+[G, n, n, F] filter entirely in VMEM. An edge = one real
 neighbor pair within the cutoff, the same unit as the reference's scatter
 rows (dig/threedgraph/method/schnet/schnet.py:55).
 
@@ -25,10 +27,11 @@ Roofline accounting (same formula as round 1, measured bandwidth): a
 scatter-based SpMM implementation of the cfconv must stream the f32
 filter tensor to and from HBM once per edge per layer — 2 * F * 4 bytes *
 num_layers = 4096 B/edge for the flagship config. The fused kernel avoids
-that traffic entirely and is MXU-bound instead: at the measured ~68 bf16
-TFLOP/s, the ~190 kFLOP of matmul work per padded pair per train step
-bounds throughput near ~25-30 M real edges/s at the observed ~0.33
-real-pair occupancy; packing pushes occupancy (and edges/s) up ~1.2-1.5x.
+that traffic entirely and is MXU-bound instead: at the measured ~65 bf16
+TFLOP/s, the ~165 kFLOP of matmul work per padded pair per train step
+(energy-only: the geometry-gradient branch is off) bounds throughput near
+~37 M real edges/s at the bucketed ~0.61 real-pair occupancy — which is
+why the measured number lands within ~6% of the HBM roofline.
 
 Prints exactly ONE JSON line; secondary metrics live under "extras".
 """
@@ -176,43 +179,56 @@ def bench_lsgraph():
 
 
 def main():
-    from dig_tpu.datasets import PackedDenseMoleculeLoader, synthetic_molecules
+    from dig_tpu.datasets import (BucketedDenseMoleculeLoader,
+                                  synthetic_molecules)
     from dig_tpu.graph_dense import radius_adjacency
     from dig_tpu.models import SchNetDense
 
-    num_slots = 512
+    # Size-bucketed dense batches: each molecule rides the smallest slot
+    # size (16/24/32 atoms) that fits it. Pair compute is quadratic in the
+    # slot size while kernel throughput per pair-row is flat (measured
+    # ~165 Mrows/s fwd+bwd at n=16/24/32), so bucketing lifts real-pair
+    # occupancy from ~0.40 (single-size 32-atom packing) to ~0.61. Slot
+    # counts are sized to the synthetic 12-29-atom uniform distribution
+    # with total pair rows ~=524k, matching the round-1 configuration.
+    slot_counts = {16: 252, 24: 380, 32: 236}
     num_layers = 4
     hidden = 128
     cutoff = 5.0
-    n_max = 32          # 29-atom QM9 cap padded to the TPU-aligned 32
     n_steps = 50        # steps per on-device epoch
 
     tflops, gbps = calibrate()
 
-    mols = synthetic_molecules(num_slots * (n_steps + 5) * 2, seed=0,
+    mols = synthetic_molecules(900 * (n_steps + 5), seed=0,
                                min_atoms=12, max_atoms=29, box=6.0)
-    loader = PackedDenseMoleculeLoader(mols, num_slots, n_max=n_max,
-                                       max_per_slot=2, shuffle=True, seed=0)
+    loader = BucketedDenseMoleculeLoader(mols, slot_counts, max_per_slot=2,
+                                         shuffle=True, seed=0)
     model = SchNetDense(cutoff=cutoff, num_layers=num_layers,
                         hidden_channels=hidden, num_filters=hidden,
                         num_gaussians=50, compute_dtype=jnp.bfloat16,
-                        use_pallas=True)
+                        use_pallas=True, pos_grads=False)  # energy-only
+    # loss: positions are never differentiated, so the kernel's
+    # geometry-gradient branch is dead weight (see pos_grads docstring)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     b0 = batches[0]
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), b0)
+    keys = sorted(b0)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), b0[keys[0]])
     opt_state = opt.init(params)
 
     def train_step(carry, b):
         params, opt_state = carry
         def loss_fn(p):
-            e = model.apply(p, b)                     # [G, M, 1]
-            y = b.globals["y"][..., :1]
-            mm = b.globals["mol_mask"][..., None]
-            err = jnp.abs(e - y) * mm
-            return jnp.sum(err) / jnp.maximum(jnp.sum(mm), 1.0)
+            num = den = 0.0
+            for k in keys:                            # one model, 3 buckets
+                e = model.apply(p, b[k])              # [G, M, 1]
+                y = b[k].globals["y"][..., :1]
+                mm = b[k].globals["mol_mask"][..., None]
+                num += jnp.sum(jnp.abs(e - y) * mm)
+                den += jnp.sum(mm)
+            return num / jnp.maximum(den, 1.0)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
@@ -229,7 +245,7 @@ def main():
             _, adj = radius_adjacency(b.pos, b.node_mask, cutoff,
                                       mol_id=b.nodes.get("mol"))
             return jnp.sum(adj)
-        return jnp.sum(jax.vmap(one)(stacked))
+        return sum(jnp.sum(jax.vmap(one)(stacked[k])) for k in keys)
 
     edges = int(count_edges(stacked))
 
@@ -255,7 +271,7 @@ def main():
             extras2[fn.__name__ + "_error"] = str(e)[:200]
 
     print(json.dumps({
-        "metric": "schnet_packed_pallas_train_edges_per_s_per_chip",
+        "metric": "schnet_bucketed_pallas_train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / roofline, 4),
@@ -265,7 +281,7 @@ def main():
             "roofline_edges_per_s": round(roofline, 1),
             "step_ms": round(dt / n_steps * 1e3, 3),
             "edges_per_step": edges // n_steps,
-            "num_slots": num_slots,
+            "slot_counts": {str(k): v for k, v in slot_counts.items()},
             "note": ("roofline = measured HBM GB/s over the scatter-SpMM "
                      "filter traffic (2*F*4B/edge/layer); kernel itself is "
                      "MXU-bound, see bench.py docstring"),

@@ -3,7 +3,8 @@ from .md17 import MD17
 from .synthetic import (synthetic_molecules,
                         synthetic_morse_molecules, morse_energy)
 from .loader import (MoleculeLoader, DenseMoleculeLoader,
-                     PackedDenseMoleculeLoader)
+                     PackedDenseMoleculeLoader,
+                     BucketedDenseMoleculeLoader)
 from .graphs import (GraphClsLoader, synthetic_graph_dataset, load_tu_dataset,
                      degree_onehot)
 from .proteins import (ECdataset, FOLDdataset, ProteinLoader,
@@ -11,7 +12,7 @@ from .proteins import (ECdataset, FOLDdataset, ProteinLoader,
 
 __all__ = ["QM93D", "MD17", "synthetic_molecules",
            "synthetic_morse_molecules", "morse_energy", "MoleculeLoader", "DenseMoleculeLoader",
-           "PackedDenseMoleculeLoader",
+           "PackedDenseMoleculeLoader", "BucketedDenseMoleculeLoader",
            "GraphClsLoader", "synthetic_graph_dataset", "load_tu_dataset",
            "degree_onehot", "ECdataset", "FOLDdataset", "ProteinLoader",
            "synthetic_proteins"]

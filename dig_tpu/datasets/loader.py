@@ -169,3 +169,100 @@ class PackedDenseMoleculeLoader:
         if chunk and not self.shuffle:
             yield self._packed(chunk, self.num_slots, self.n_max,
                                self.max_per_slot, slots=members)
+
+
+class BucketedDenseMoleculeLoader:
+    """Dense minibatches bucketed by slot size: a batch is a dict
+    ``{n_max: DenseGraphBatch}`` with a fixed slot count per bucket.
+
+    Dense-path compute is quadratic in the slot size, so a 14-atom molecule
+    in a 16-atom slot carries ~3.4x the real-pair occupancy it would in a
+    32-atom slot — and the fused cfconv kernel's per-pair-row throughput is
+    flat across n=16/24/32 (ops/pallas_cfconv.py). Each molecule is routed
+    to the smallest bucket that fits it (several small molecules may share
+    a slot, cross-molecule pairs masked via ``nodes['mol']``, exactly like
+    :class:`PackedDenseMoleculeLoader`).
+
+    Args:
+      data: sequence of molecule dicts ({z, pos, y}).
+      slot_counts: ``{n_max: num_slots}`` — static per-bucket batch shape.
+        Size the proportions to the data's size distribution; a bucket that
+        fills early simply blocks until the others catch up (batches are
+        emitted only when every bucket is full, so with mismatched
+        proportions throughput degrades but correctness doesn't).
+      max_per_slot: molecule cap per slot (molecules smaller than half the
+        smallest bucket still pack several-per-slot).
+      shuffle/seed: deterministic epoch reshuffle; when shuffling, the
+        ragged tail is dropped (training), otherwise emitted padded (eval).
+    """
+
+    def __init__(self, data, slot_counts: Dict[int, int],
+                 max_per_slot: int = 2, shuffle: bool = False, seed: int = 0):
+        from ..graph_dense import packed_dense_batch_np
+        self._packed = packed_dense_batch_np
+        self.data = list(data)
+        self.slot_counts = dict(sorted(slot_counts.items()))
+        self.sizes = list(self.slot_counts)
+        if any(len(m["z"]) > self.sizes[-1] for m in self.data):
+            raise ValueError(f"molecule larger than biggest bucket "
+                             f"{self.sizes[-1]}")
+        self.max_per_slot = max_per_slot
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def _emit(self, state):
+        out = {}
+        for n_max, G in self.slot_counts.items():
+            fills, members, chunk = state[n_max]
+            out[n_max] = self._packed(chunk, G, n_max, self.max_per_slot,
+                                      slots=members)
+        return out
+
+    def _place(self, state, m) -> bool:
+        n = len(m["z"])
+        bucket = next(s for s in self.sizes if n <= s)
+        fills, members, chunk = state[bucket]
+        for s in range(len(fills)):
+            if (fills[s] + n <= bucket
+                    and len(members[s]) < self.max_per_slot):
+                fills[s] += n
+                members[s].append(len(chunk))
+                chunk.append(m)
+                return True
+        if len(fills) < self.slot_counts[bucket]:
+            fills.append(n)
+            members.append([len(chunk)])
+            chunk.append(m)
+            return True
+        return False
+
+    def __iter__(self):
+        order = np.arange(len(self.data))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        fresh = lambda: {s: ([], [], []) for s in self.sizes}
+        full = lambda st: all(len(st[s][0]) == self.slot_counts[s]
+                              for s in self.sizes)
+        state = fresh()                 # bucket -> (fills, members, chunk)
+        pending: List[int] = []         # indices waiting on a full bucket
+        for i in order:
+            if not self._place(state, self.data[i]):
+                pending.append(i)
+            while full(state):
+                yield self._emit(state)
+                state = fresh()
+                pending = [j for j in pending
+                           if not self._place(state, self.data[j])]
+        if not self.shuffle:            # eval: flush everything, padded
+            while pending:
+                rest = [j for j in pending
+                        if not self._place(state, self.data[j])]
+                if len(rest) == len(pending):   # no progress: emit + reset
+                    yield self._emit(state)
+                    state = fresh()
+                pending = rest
+            if any(state[s][2] for s in self.sizes):
+                yield self._emit(state)

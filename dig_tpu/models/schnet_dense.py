@@ -36,6 +36,9 @@ class SchNetDense(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32  # bf16: 2x MXU rate, same
     # params/readout in f32 (mixed precision; geometry stays f32)
     use_pallas: bool = False  # fused VMEM cfconv kernel (ops/pallas_cfconv)
+    pos_grads: bool = True    # False: skip the kernel's geometry-gradient
+    # branch (~12% of backward FLOPs). ONLY for energy-only training —
+    # grads w.r.t. positions through the cfconv become silent zeros.
 
     @nn.compact
     def __call__(self, b: DenseGraphBatch):
@@ -78,7 +81,8 @@ class SchNetDense(nn.Module):
                                 (self.num_filters,))
                 prec = "bf16" if cd == jnp.bfloat16 else "f32"
                 agg = cfconv_fused(dist_m, vj, w1, b1, w2, b2,
-                                   self.cutoff, self.num_gaussians, prec)
+                                   self.cutoff, self.num_gaussians, prec,
+                                   self.pos_grads)
                 agg = agg.astype(cd)
             else:
                 W = MLP([self.num_filters, self.num_filters],

@@ -123,7 +123,8 @@ def _fwd_kernel(dist_ref, vj_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
 def _bwd_kernel(dist_ref, vj_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
                 d_dist_ref, d_vj_ref, d_w1_ref, d_b1_ref, d_w2_ref,
                 d_b2_ref, *, MB: int, n: int, R_pad: int, F: int,
-                coeff: float, delta_mu: float, cutoff: float, mm_dtype):
+                coeff: float, delta_mu: float, cutoff: float, mm_dtype,
+                need_ddist: bool = True):
     rows = MB * n * n
     d3 = dist_ref[...]                                    # [MB, n, n]
     rbf, gate3 = _rbf_gate(d3, R_pad, coeff, delta_mu, cutoff)
@@ -152,19 +153,23 @@ def _bwd_kernel(dist_ref, vj_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
                   preferred_element_type=jnp.float32)
     d_pre1 = d_h * jax.nn.sigmoid(pre1)
     d_pre1_16 = d_pre1.astype(mm_dtype)
-    d_rbf = jnp.dot(d_pre1_16, w1_ref[...].T,
-                    preferred_element_type=jnp.float32)
 
-    # geometry gradient: through the RBF and the cutoff gate
-    d4 = jnp.broadcast_to(d3[..., None], (MB, n, n, R_pad))
-    mu4 = jax.lax.broadcasted_iota(jnp.int32, (MB, n, n, R_pad), 3)
-    dmu4 = d4 - mu4.astype(jnp.float32) * delta_mu
-    d_from_rbf = jnp.sum(
-        (d_rbf * rbf).reshape(MB, n, n, R_pad) * (2.0 * coeff) * dmu4,
-        axis=3)
-    dgate_dd = -0.5 * (math.pi / cutoff) * jnp.sin(d3 * (math.pi / cutoff))
-    dgate_dd = jnp.where(d3 < cutoff, dgate_dd, 0.0)
-    d_dist_ref[...] = d_from_rbf + d_gate3 * dgate_dd
+    if need_ddist:
+        # geometry gradient: through the RBF and the cutoff gate
+        d_rbf = jnp.dot(d_pre1_16, w1_ref[...].T,
+                        preferred_element_type=jnp.float32)
+        d4 = jnp.broadcast_to(d3[..., None], (MB, n, n, R_pad))
+        mu4 = jax.lax.broadcasted_iota(jnp.int32, (MB, n, n, R_pad), 3)
+        dmu4 = d4 - mu4.astype(jnp.float32) * delta_mu
+        d_from_rbf = jnp.sum(
+            (d_rbf * rbf).reshape(MB, n, n, R_pad) * (2.0 * coeff) * dmu4,
+            axis=3)
+        dgate_dd = (-0.5 * (math.pi / cutoff)
+                    * jnp.sin(d3 * (math.pi / cutoff)))
+        dgate_dd = jnp.where(d3 < cutoff, dgate_dd, 0.0)
+        d_dist_ref[...] = d_from_rbf + d_gate3 * dgate_dd
+    else:
+        d_dist_ref[...] = jnp.zeros((MB, n, n), jnp.float32)
 
     # weight grads: accumulate across grid steps (constant output block)
     p_w1 = jnp.dot(rbf16.T, d_pre1_16, preferred_element_type=jnp.float32)
@@ -200,18 +205,24 @@ def _pick_mb(G: int, n2: int, target_rows: int = 8192) -> int:
     return min(mb, G)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def cfconv_fused(dist, vj, w1, b1, w2, b2, cutoff, num_gaussians,
-                 precision="bf16"):
+                 precision="bf16", need_dist_grad=True):
     """Fused cfconv: dist [G,n,n] (invalid pairs = MASK_DIST), vj [G,n,F],
     w1 [R,F], b1 [F], w2 [F,F], b2 [F] -> agg [G,n,F] float32.
 
     ``cutoff``, ``num_gaussians`` and ``precision`` ("bf16"|"f32" matmul
     inputs; accumulation is always f32) are static. n is padded to a
-    multiple of 32 internally; on TPU, F must be a multiple of 128.
+    multiple of 8 internally; on TPU, F must be a multiple of 128.
+
+    ``need_dist_grad=False`` skips the geometry-gradient branch of the
+    backward kernel (~12% of backward FLOPs: the d_rbf matmul + the
+    RBF/gate chain rules). ONLY for energy-only training: with it off, a
+    ``jax.grad`` w.r.t. positions flowing through ``dist`` returns ZEROS
+    from this op, silently — force training must leave it True.
     """
     return _fused_fwd(dist, vj, w1, b1, w2, b2, cutoff, num_gaussians,
-                      precision)[0]
+                      precision, need_dist_grad)[0]
 
 
 def _mm_dtype(precision):
@@ -223,7 +234,10 @@ def _prep(dist, vj, w1, b1, w2, b2, num_gaussians, target_rows=8192):
     F = vj.shape[-1]
     if F % 128 != 0 and _on_tpu():
         raise ValueError(f"F={F} must be a multiple of 128 on TPU")
-    n_pad = _round_up(n, 32)
+    # Sublane-aligned slot size: n is free down to multiples of 8 (f32
+    # sublane); per-pair-row throughput is flat across n=16/24/32 (measured
+    # ~165 Mrows/s fwd+bwd), which is what makes size-bucketed batching pay.
+    n_pad = _round_up(n, 8)
     R = w1.shape[0]
     R_pad = _round_up(max(R, num_gaussians), 64)
     if n_pad != n:
@@ -242,7 +256,7 @@ def _prep(dist, vj, w1, b1, w2, b2, num_gaussians, target_rows=8192):
 
 
 def _fused_fwd(dist, vj, w1, b1, w2, b2, cutoff, num_gaussians,
-               precision="bf16"):
+               precision="bf16", need_dist_grad=True):
     orig = (dist, vj, w1, b1, w2, b2)
     md = _mm_dtype(precision)
     dist_p, vj_p, w1_p, b1_, w2_, b2_, dims = _prep(
@@ -284,7 +298,8 @@ def _fused_fwd(dist, vj, w1, b1, w2, b2, cutoff, num_gaussians,
     return out[:G, :n], orig
 
 
-def _fused_bwd(cutoff, num_gaussians, precision, res, g_out):
+def _fused_bwd(cutoff, num_gaussians, precision, need_dist_grad, res,
+               g_out):
     dist, vj, w1, b1, w2, b2 = res
     md = _mm_dtype(precision)
     dist_p, vj_p, w1_p, b1_, w2_, b2_, dims = _prep(
@@ -298,7 +313,7 @@ def _fused_bwd(cutoff, num_gaussians, precision, res, g_out):
         g_out = jnp.pad(g_out, ((0, G_pad - G), (0, n_pad - n), (0, 0)))
     kern = functools.partial(_bwd_kernel, MB=MB, n=n_pad, R_pad=R_pad, F=F,
                              coeff=coeff, delta_mu=delta_mu, cutoff=cutoff,
-                             mm_dtype=md)
+                             mm_dtype=md, need_ddist=need_dist_grad)
     rows = MB * n2
     flops_mm = 2 * rows * F * (2 * R_pad + 3 * F)
     const = lambda g: (0, 0)

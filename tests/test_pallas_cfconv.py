@@ -109,3 +109,33 @@ def test_pallas_path_matches_dense_xla_path():
     out_x = m_x.apply(params_x, b)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_need_dist_grad_false_zeroes_only_ddist():
+    """need_dist_grad=False: weight/vj grads stay exact, d_dist is zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dig_tpu.ops.pallas_cfconv import cfconv_fused
+
+    key = jax.random.PRNGKey(0)
+    G, n, F, R = 4, 16, 128, 50
+    dist = jax.random.uniform(key, (G, n, n), jnp.float32, 0.5, 8.0)
+    vj = jax.random.normal(key, (G, n, F), jnp.float32)
+    w1 = jax.random.normal(key, (R, F)) * 0.1
+    b1 = jnp.zeros(F)
+    w2 = jax.random.normal(key, (F, F)) * 0.1
+    b2 = jnp.zeros(F)
+
+    def loss(flag, *a):
+        return jnp.sum(jnp.sin(cfconv_fused(*a, 5.0, 50, "f32", flag)))
+
+    g_on = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3, 4, 5))(
+        dist, vj, w1, b1, w2, b2)
+    g_off = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3, 4, 5))(
+        dist, vj, w1, b1, w2, b2)
+    assert float(jnp.max(jnp.abs(g_off[0]))) == 0.0       # d_dist zeroed
+    assert float(jnp.max(jnp.abs(g_on[0]))) > 0.0
+    for a, b in zip(g_on[1:], g_off[1:]):                 # rest identical
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
