@@ -37,9 +37,59 @@ def FOLDdataset(root: str = "dataset/", split: str = "training") -> List[Dict]:
     return load_protein_npz(root, f"fold_{split}")
 
 
+def compute_dihedrals(v1: np.ndarray, v2: np.ndarray,
+                      v3: np.ndarray) -> np.ndarray:
+    """Torsion angle of three consecutive bond vectors (ECdataset.py:151-157:
+    atan2 of the binormal projection over the plane-normal dot), NaN-safe —
+    missing side-chain atoms propagate NaN vectors and land on 0 exactly as
+    the reference's ``nan_to_num``."""
+    n1 = np.cross(v1, v2)
+    n2 = np.cross(v2, v3)
+    a = np.sum(n1 * n2, axis=-1)
+    norm = np.linalg.norm(v2, axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        b = np.sum(np.cross(n1, n2) * v2, axis=-1) / norm
+    return np.nan_to_num(np.arctan2(np.nan_to_num(b), np.nan_to_num(a)))
+
+
+def bb_embs(X: np.ndarray) -> np.ndarray:
+    """Backbone dihedral embedding [n_res, 6] from X [n_res, 3, 3]
+    (N/CA/C coords per residue): the (phi, psi, omega) chain dihedrals as
+    (cos, sin) pairs, phi[0]/psi[-1]/omega[-1] zero-padded
+    (ECdataset.py:126-147)."""
+    n = X.shape[0]
+    flat = X.reshape(3 * n, 3)
+    dX = flat[1:] - flat[:-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        U = dX / np.linalg.norm(dX, axis=-1, keepdims=True)
+    U = np.nan_to_num(U)
+    angle = compute_dihedrals(U[:-2], U[1:-1], U[2:])
+    angle = np.pad(angle, (1, 2))
+    angle = angle.reshape(n, 3)
+    return np.concatenate([np.cos(angle), np.sin(angle)],
+                          axis=1).astype(np.float32)
+
+
+def side_chain_embs(pos_n, pos_ca, pos_c, pos_cb, pos_g, pos_d, pos_e,
+                    pos_z, pos_h) -> np.ndarray:
+    """Side-chain embedding [n_res, 8]: the first four chi torsions along
+    N-CA-CB-G-D-E-Z(-H) as (sin, cos) pairs; residues missing atoms get 0
+    via the NaN chain (ECdataset.py:109-123)."""
+    vs = [pos_ca - pos_n, pos_cb - pos_ca, pos_g - pos_cb, pos_d - pos_g,
+          pos_e - pos_d, pos_z - pos_e, pos_h - pos_z]
+    angles = np.stack([compute_dihedrals(vs[k], vs[k + 1], vs[k + 2])
+                       for k in range(4)], axis=1)
+    return np.concatenate([np.sin(angles), np.cos(angles)],
+                          axis=1).astype(np.float32)
+
+
 def synthetic_proteins(num: int = 16, min_res: int = 8, max_res: int = 24,
                        num_classes: int = 4, seed: int = 0) -> List[Dict]:
-    """Random self-avoiding-ish backbones with class-correlated geometry."""
+    """Random self-avoiding-ish backbones with class-correlated geometry.
+
+    bb_embs / side_chain_embs are COMPUTED from the synthetic coordinates
+    with the real pipeline above (not sampled), so models exercise the
+    same coordinate->embedding path real EC/FOLD data takes."""
     rng = np.random.default_rng(seed)
     prots = []
     for _ in range(num):
@@ -55,13 +105,23 @@ def synthetic_proteins(num: int = 16, min_res: int = 8, max_res: int = 24,
             d = d / np.linalg.norm(d)
             pos.append(pos[-1] + step * d)
         pos = np.asarray(pos, np.float32)
+        pos_n = pos + rng.normal(0, 0.4, (n, 3)).astype(np.float32)
+        pos_c = pos + rng.normal(0, 0.4, (n, 3)).astype(np.float32)
+        # plausible side-chain atoms walking out from CB; drop tail atoms
+        # for ~half the residues to exercise the NaN-missing-atom path
+        chain = [pos + rng.normal(0, 0.6, (n, 3)).astype(np.float32)]
+        for _ in range(5):
+            chain.append(chain[-1]
+                         + rng.normal(0, 0.8, (n, 3)).astype(np.float32))
+        for arr in chain[2:]:
+            arr[rng.random(n) < 0.15] = np.nan
         prots.append({
             "z": rng.integers(0, 20, n).astype(np.int32),
             "pos": pos,
-            "pos_n": pos + rng.normal(0, 0.4, (n, 3)).astype(np.float32),
-            "pos_c": pos + rng.normal(0, 0.4, (n, 3)).astype(np.float32),
-            "bb_embs": rng.normal(size=(n, 6)).astype(np.float32),
-            "side_chain_embs": rng.normal(size=(n, 8)).astype(np.float32),
+            "pos_n": pos_n,
+            "pos_c": pos_c,
+            "bb_embs": bb_embs(np.stack([pos_n, pos, pos_c], axis=1)),
+            "side_chain_embs": side_chain_embs(pos_n, pos, pos_c, *chain),
             "y": cls,
         })
     return prots

@@ -43,29 +43,31 @@ def _cross_norm(v):
 
 
 class ProNetInteraction(nn.Module):
-    """pronet.py:150-254."""
+    """pronet.py:150-254 (incl. per-stream dropout after each conv)."""
 
     hidden: int
     mid_emb: int
     num_layers: int = 3
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, feature0, feature1, pos_emb, senders, receivers,
-                 edge_mask, g: GraphBatch):
+                 edge_mask, g: GraphBatch, deterministic: bool = True):
         N = g.num_nodes
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
         f0 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(feature0)
         f1 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(feature1)
         f2 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(pos_emb)
         h = swish(nn.Dense(self.hidden, kernel_init=xavier)(x))
-        h0 = swish(nn.Dense(self.hidden, kernel_init=xavier)(
+        h0 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier)(
             EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
-                                       f0, N)))
-        h1 = swish(nn.Dense(self.hidden, kernel_init=xavier)(
+                                       f0, N))))
+        h1 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier)(
             EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
-                                       f1, N)))
-        h2 = swish(nn.Dense(self.hidden, kernel_init=xavier)(
+                                       f1, N))))
+        h2 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier)(
             EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
-                                       f2, N)))
+                                       f2, N))))
         out = jnp.concatenate([h0, h1, h2], axis=-1)
         for li in range(self.num_layers):
             out = swish(nn.Dense(self.hidden, kernel_init=xavier)(out))
@@ -94,9 +96,18 @@ class ProNet(nn.Module):
     out_layers: int = 2
     num_pos_emb: int = 16
     max_edges: int = 8192
+    dropout: float = 0.0
+    data_augment_eachlayer: bool = False  # pronet.py:455-458: clipped
+    # N(0, 0.025) node-feature noise before each block (train only)
+    euler_noise: bool = False             # pronet.py:425-429: clipped
+    # N(0, 0.025) noise on the three backbone Euler angles (train only)
 
     @nn.compact
-    def __call__(self, g: GraphBatch):
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        def clipped_noise(shape):
+            key = self.make_rng("noise")
+            return jnp.clip(0.025 * jax.random.normal(key, shape),
+                            -0.1, 0.1)
         z = g.nodes["z"]
         pos = g.nodes["pos"]
         N = g.num_nodes
@@ -184,19 +195,27 @@ class ProNet(nn.Module):
             angle3 = _safe_atan2(
                 jnp.sum(jnp.cross(nvec, o2x) * o2z, -1) / o2zl,
                 jnp.sum(nvec * o2x, -1))
+            if self.euler_noise and not deterministic:
+                noise = clipped_noise((3,) + angle1.shape)
+                angle1, angle2, angle3 = (angle1 + noise[0],
+                                          angle2 + noise[1],
+                                          angle3 + noise[2])
             feature1 = jnp.concatenate(
                 [d_angle(angle1), d_angle(angle2), d_angle(angle3)], -1)
         feature1 = jnp.where(edge_mask[:, None], feature1, 0.0)
 
         for _ in range(self.num_blocks):
+            if self.data_augment_eachlayer and not deterministic:
+                x = x + clipped_noise(x.shape)
             x = ProNetInteraction(self.hidden_channels, self.mid_emb,
-                                  self.int_emb_layers)(
+                                  self.int_emb_layers, self.dropout)(
                 x, feature0, feature1, pos_emb, senders, receivers,
-                edge_mask, g)
+                edge_mask, g, deterministic)
             x = jnp.where(g.node_mask[:, None], x, 0.0)
 
         y = segment_sum(x, g.node_graph, g.num_graphs, mask=g.node_mask)
-        for _ in range(self.out_layers):
-            y = jax.nn.relu(nn.Dense(self.hidden_channels,
-                                     kernel_init=xavier)(y))
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        for _ in range(self.out_layers - 1):
+            y = drop(jax.nn.relu(nn.Dense(self.hidden_channels,
+                                          kernel_init=xavier)(y)))
         return nn.Dense(self.out_channels, kernel_init=xavier)(y)

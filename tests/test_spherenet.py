@@ -208,3 +208,69 @@ def test_spherenet_nk_layout_matches_flat():
     u2 = np.asarray(jax.jit(m_nk.apply)(p, b))
     # f32 summation-order noise over ~1500 edges: ~3e-4 relative.
     np.testing.assert_allclose(u1, u2, rtol=1e-3, atol=1e-3)
+
+
+def test_protein_dihedral_embeddings():
+    """Golden-value dihedrals + the reference's padding/NaN semantics
+    (ECdataset.py:109-157)."""
+    import numpy as np
+    from dig_tpu.datasets.proteins import (bb_embs, compute_dihedrals,
+                                           side_chain_embs)
+
+    # Known torsion: butane-like chain with a 90-degree dihedral.
+    p0 = np.array([0.0, 1.0, 0.0])
+    p1 = np.array([0.0, 0.0, 0.0])
+    p2 = np.array([1.0, 0.0, 0.0])
+    p3 = np.array([1.0, 0.0, 1.0])
+    v1, v2, v3 = p1 - p0, p2 - p1, p3 - p2
+    tor = compute_dihedrals(v1[None], v2[None], v3[None])[0]
+    np.testing.assert_allclose(abs(tor), np.pi / 2, atol=1e-6)
+    # syn (cis, same side) -> 0; anti (trans, opposite side) -> pi
+    tor = compute_dihedrals(v1[None], v2[None],
+                            np.array([[0.0, 1.0, 0.0]]))[0]
+    np.testing.assert_allclose(tor, 0.0, atol=1e-6)
+    tor = compute_dihedrals(v1[None], v2[None],
+                            np.array([[0.0, -1.0, 0.0]]))[0]
+    np.testing.assert_allclose(abs(tor), np.pi, atol=1e-6)
+
+    # bb_embs: phi[0], psi[-1], omega[-1] are zero-padded -> cos=1, sin=0.
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(5, 3, 3))
+    e = bb_embs(X)
+    assert e.shape == (5, 6)
+    np.testing.assert_allclose(e[0, 0], 1.0, atol=1e-6)   # cos(phi[0]=0)
+    np.testing.assert_allclose(e[0, 3], 0.0, atol=1e-6)   # sin(phi[0]=0)
+    np.testing.assert_allclose(e[-1, [1, 2]], 1.0, atol=1e-6)
+    np.testing.assert_allclose(e[-1, [4, 5]], 0.0, atol=1e-6)
+
+    # missing atoms (NaN) produce zero embeddings, not NaN.
+    n = 4
+    args = [rng.normal(size=(n, 3)) for _ in range(9)]
+    args[5][:] = np.nan                                   # no delta atoms
+    s = side_chain_embs(*args)
+    assert s.shape == (n, 8)
+    assert np.isfinite(s).all()
+
+
+def test_pronet_dropout_and_augment_flags():
+    """dropout / euler_noise / data_augment_eachlayer run and only perturb
+    outputs when deterministic=False (pronet.py:425-429,455-458)."""
+    import jax
+    import numpy as np
+    from dig_tpu.datasets import ProteinLoader, synthetic_proteins
+    from dig_tpu.models import ProNet
+
+    prots = synthetic_proteins(4, seed=0, max_res=10)
+    g = next(iter(ProteinLoader(prots, 4)))
+    model = ProNet(level="allatom", num_blocks=1, hidden_channels=24,
+                   mid_emb=12, out_channels=3, max_edges=512,
+                   dropout=0.3, euler_noise=True,
+                   data_augment_eachlayer=True)
+    params = model.init(jax.random.PRNGKey(0), g)
+    det = model.apply(params, g)                          # deterministic
+    det2 = model.apply(params, g)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(det2))
+    rngs = {"dropout": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}
+    tr = model.apply(params, g, deterministic=False, rngs=rngs)
+    assert np.isfinite(np.asarray(tr)).all()
+    assert float(np.max(np.abs(np.asarray(tr) - np.asarray(det)))) > 1e-6
