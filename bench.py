@@ -89,18 +89,28 @@ def calibrate(K: int = 20):
 
 
 def bench_spherenet():
-    """Secondary metric: flagship SphereNet (triplet path) train edges/s."""
+    """Secondary metric: flagship SphereNet (triplet path) train edges/s.
+
+    Config notes (measured on this chip, round 2): the NK neighbor-table
+    layout (nk_degree=16; max in-degree in this data is 15, so NO edges are
+    dropped — the round-1 flat config's max_edges=4096 silently dropped 21%
+    of real pairs) beats the compacted edge list because the graph build is
+    sort-free and the edge->node reduction is a reshape-sum. bf16 compute
+    (f32 params/basis/readout, max rel. energy err vs f32 < 1%) is another
+    +48%; G=24 molecules/batch is the throughput knee before the flat-layout
+    N^2 distance matrix starts to dominate. Edges are counted host-side
+    against the TRUE uncapped radius graph.
+    """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
-    from dig_tpu.ops.radius import radius_graph_flat
 
-    G, n_steps = 16, 10
+    G, n_steps = 24, 10
     mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
                                max_atoms=29, box=6.0)
     loader = MoleculeLoader(mols, G, n_node_pad=G * 29, shuffle=True, seed=0)
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
-                      num_spherical=3, num_radial=6, max_edges=4096,
-                      max_in_degree=32, segment_eb=1024)
+                      num_spherical=3, num_radial=6, nk_degree=16,
+                      compute_dtype=jnp.bfloat16)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]
@@ -123,15 +133,16 @@ def bench_spherenet():
             train_step, (params, opt_state), stacked)
         return params, opt_state, losses
 
-    @jax.jit
-    def count_edges(stacked):
-        def one(b):
-            _, _, em = radius_graph_flat(b.nodes["pos"], b.node_graph,
-                                         b.node_mask, 5.0, 4096)
-            return jnp.sum(em)
-        return jnp.sum(jax.vmap(one)(stacked))
+    edges = 0  # true (uncapped) directed pairs within the cutoff
+    for b in batches:
+        pos = np.asarray(b.nodes["pos"])
+        nm = np.asarray(b.node_mask)
+        ng = np.asarray(b.node_graph)
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        adj = ((d < 5.0) & ~np.eye(len(pos), dtype=bool)
+               & nm[:, None] & nm[None, :] & (ng[:, None] == ng[None, :]))
+        edges += int(adj.sum())
 
-    edges = int(count_edges(stacked))
     params, opt_state, losses = epoch(params, opt_state, stacked)
     float(losses[-1])
     state = [params, opt_state]
@@ -141,7 +152,7 @@ def bench_spherenet():
         return losses
 
     dt = _median_time(run, lambda l: float(l[-1]), trials=3)
-    return {"spherenet_flat_train_edges_per_s": round(edges / dt, 1),
+    return {"spherenet_nk_bf16_train_edges_per_s": round(edges / dt, 1),
             "spherenet_step_ms": round(dt / n_steps * 1e3, 3)}
 
 

@@ -109,13 +109,14 @@ class TorsionEmb(nn.Module):
 class ResidualLayer(nn.Module):
     hidden_channels: int
     act: callable = swish
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         h = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
-                              bias_init=zeros)(x))
+                              bias_init=zeros, dtype=self.dtype)(x))
         h = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
-                              bias_init=zeros)(h))
+                              bias_init=zeros, dtype=self.dtype)(h))
         return x + h
 
 
@@ -124,16 +125,18 @@ class InitBlock(nn.Module):
 
     hidden_channels: int
     act: callable = swish
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, z, rbf, senders, receivers):
         x = nn.Embed(95, self.hidden_channels,
-                     embedding_init=_uniform_sqrt3)(z)
-        rbf0 = self.act(nn.Dense(self.hidden_channels)(rbf))
-        e1 = self.act(nn.Dense(self.hidden_channels)(
+                     embedding_init=_uniform_sqrt3, dtype=self.dtype)(z)
+        rbf0 = self.act(nn.Dense(self.hidden_channels,
+                                 dtype=self.dtype)(rbf))
+        e1 = self.act(nn.Dense(self.hidden_channels, dtype=self.dtype)(
             jnp.concatenate([x[receivers], x[senders], rbf0], axis=-1)))
         e2 = nn.Dense(self.hidden_channels, use_bias=False,
-                      kernel_init=go2)(rbf) * e1
+                      kernel_init=go2, dtype=self.dtype)(rbf) * e1
         return e1, e2
 
 
@@ -149,14 +152,16 @@ class UpdateE(nn.Module):
     num_before_skip: int = 1
     num_after_skip: int = 2
     act: callable = swish
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, e1, rbf0, sbf, tbf, trip: Triplets):
-        D = lambda f, b=False: nn.Dense(f, use_bias=b, kernel_init=go2)
+        D = lambda f, b=False: nn.Dense(f, use_bias=b, kernel_init=go2,
+                                        dtype=self.dtype)
         x_ji = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
-                                 bias_init=zeros)(e1))
+                                 bias_init=zeros, dtype=self.dtype)(e1))
         x_kj = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
-                                 bias_init=zeros)(e1))
+                                 bias_init=zeros, dtype=self.dtype)(e1))
 
         rbf = D(self.basis_emb_size_dist)(rbf0)
         rbf = D(self.hidden_channels)(rbf)
@@ -182,11 +187,11 @@ class UpdateE(nn.Module):
         e1_new = x_ji + x_kj
         h = self.hidden_channels
         for _ in range(self.num_before_skip):
-            e1_new = ResidualLayer(h, self.act)(e1_new)
-        e1_new = self.act(nn.Dense(h, kernel_init=go2,
-                                   bias_init=zeros)(e1_new)) + e1
+            e1_new = ResidualLayer(h, self.act, dtype=self.dtype)(e1_new)
+        e1_new = self.act(nn.Dense(h, kernel_init=go2, bias_init=zeros,
+                                   dtype=self.dtype)(e1_new)) + e1
         for _ in range(self.num_after_skip):
-            e1_new = ResidualLayer(h, self.act)(e1_new)
+            e1_new = ResidualLayer(h, self.act, dtype=self.dtype)(e1_new)
         e2 = D(self.hidden_channels)(rbf0) * e1_new
         return e1_new, e2
 
@@ -203,6 +208,7 @@ class UpdateV(nn.Module):
     segment_eb: int = 0  # >0: Pallas sorted-CSR aggregation (receivers are
     # row-major sorted by ops/radius.adjacency_to_edges)
     nk: bool = False     # edges are [N, K] slots: aggregate by reshape-sum
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, e2, receivers, edge_mask, num_nodes):
@@ -213,13 +219,15 @@ class UpdateV(nn.Module):
                                    max_edges_per_block=self.segment_eb)
         else:
             v = segment_sum(e2, receivers, num_nodes, mask=edge_mask)
-        v = nn.Dense(self.out_emb_channels, kernel_init=go2)(v)
+        v = nn.Dense(self.out_emb_channels, kernel_init=go2,
+                     dtype=self.dtype)(v)
         for _ in range(self.num_output_layers):
             v = self.act(nn.Dense(self.out_emb_channels, kernel_init=go2,
-                                  bias_init=zeros)(v))
+                                  bias_init=zeros, dtype=self.dtype)(v))
         out_init = zeros if self.output_init == "zeros" else go2
+        # final projection in f32: the per-graph energy readout
         v = nn.Dense(self.out_channels, use_bias=False,
-                     kernel_init=out_init)(v)
+                     kernel_init=out_init)(v.astype(jnp.float32))
         return v
 
 
@@ -249,6 +257,9 @@ class _SphericalMPNN(nn.Module):
     nk_degree: int = 0   # >0: [N, K] neighbor-table layout (radius_graph_nk)
     # instead of the compacted edge list — zero sorts in the graph build and
     # a reshape-sum edge->node aggregation; K doubles as max_in_degree.
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16: run the
+    # dense/embedding compute on the MXU in bf16 (params + geometry/basis
+    # stay f32; the final readout projection is always f32)
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -283,11 +294,17 @@ class _SphericalMPNN(nn.Module):
         else:
             tbf = None
 
-        e1, e2 = InitBlock(self.hidden_channels)(z, rbf0, senders, receivers)
+        dt = self.compute_dtype
+        if dt is not None:
+            rbf0, sbf = rbf0.astype(dt), sbf.astype(dt)
+            tbf = None if tbf is None else tbf.astype(dt)
+        e1, e2 = InitBlock(self.hidden_channels,
+                           dtype=dt)(z, rbf0, senders, receivers)
         v = UpdateV(self.hidden_channels, self.out_emb_channels,
                     self.out_channels, self.num_output_layers,
                     self.output_init, segment_eb=self.segment_eb,
-                    nk=self.nk_degree > 0)(e2, receivers, edge_mask, N)
+                    nk=self.nk_degree > 0,
+                    dtype=dt)(e2, receivers, edge_mask, N)
         u = segment_sum(v, g.node_graph, G, mask=g.node_mask)
 
         for _ in range(self.num_layers):
@@ -297,11 +314,13 @@ class _SphericalMPNN(nn.Module):
                              self.basis_emb_size_torsion,
                              self.use_torsion,
                              self.num_before_skip,
-                             self.num_after_skip)(e1, rbf0, sbf, tbf, trip)
+                             self.num_after_skip,
+                             dtype=dt)(e1, rbf0, sbf, tbf, trip)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,
                         self.out_channels, self.num_output_layers,
                         self.output_init, segment_eb=self.segment_eb,
-                        nk=self.nk_degree > 0)(e2, receivers, edge_mask, N)
+                        nk=self.nk_degree > 0,
+                        dtype=dt)(e2, receivers, edge_mask, N)
             u = u + segment_sum(v, g.node_graph, G, mask=g.node_mask)
         return u
 

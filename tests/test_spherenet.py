@@ -210,6 +210,35 @@ def test_spherenet_nk_layout_matches_flat():
     np.testing.assert_allclose(u1, u2, rtol=1e-3, atol=1e-3)
 
 
+def test_spherenet_bf16_close_to_f32():
+    """compute_dtype=bf16 (the bench config) shares f32 params and stays
+    within ~1% of the f32 energies; grads stay finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+    from dig_tpu.models import SphereNet
+
+    mols = synthetic_molecules(8, seed=0, min_atoms=8, max_atoms=14, box=6.0)
+    b = next(iter(MoleculeLoader(mols, 8, n_node_pad=8 * 14)))
+    kw = dict(cutoff=5.0, num_layers=2, hidden_channels=32, num_spherical=3,
+              num_radial=4, out_emb_channels=32, int_emb_size=16,
+              nk_degree=16)
+    m32 = SphereNet(**kw)
+    m16 = SphereNet(compute_dtype=jnp.bfloat16, **kw)
+    p = jax.jit(m32.init)(jax.random.PRNGKey(0), b)
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: a.dtype == b.dtype and a.shape == b.shape,
+        p, jax.jit(m16.init)(jax.random.PRNGKey(0), b)))
+    u32 = np.asarray(jax.jit(m32.apply)(p, b), np.float64)
+    u16 = np.asarray(jax.jit(m16.apply)(p, b), np.float64)
+    rel = np.abs(u32 - u16) / np.maximum(np.abs(u32), 1.0)
+    assert rel.max() < 3e-2, rel.max()
+    g = jax.grad(lambda p: jnp.sum(m16.apply(p, b)))(p)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
 def test_protein_dihedral_embeddings():
     """Golden-value dihedrals + the reference's padding/NaN semantics
     (ECdataset.py:109-157)."""
