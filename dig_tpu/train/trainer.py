@@ -141,8 +141,17 @@ class Run3D:
             p: float = 100.0, loss: str = "l1", seed: int = 42,
             save_dir: str = "", log_dir: str = "",
             n_node_pad: Optional[int] = None,
-            quiet: bool = False) -> Dict[str, float]:
+            quiet: bool = False, profile_dir: str = "",
+            debug: bool = False) -> Dict[str, float]:
+        """``profile_dir``: write a jax.profiler trace of steps 10-14 of the
+        first epoch there (XPlane, TensorBoard-profile readable).
+        ``debug``: run under NaN checks (jax_debug_nans) and assert donation
+        discipline on the first step — see :mod:`dig_tpu.train.debug`."""
+        import contextlib
+
         from ..datasets.loader import MoleculeLoader
+        from .debug import assert_donation_discipline, debug_mode
+        from .profiling import StepProfiler
 
         train_loader = MoleculeLoader(train_data, batch_size,
                                       n_node_pad=n_node_pad, shuffle=True,
@@ -190,38 +199,53 @@ class Run3D:
             from .checkpoint import Checkpointer
             ckpt_mgr = Checkpointer(save_dir)
 
-        for epoch in range(1, epochs + 1):
-            tp.reset()
-            losses = []
-            for g in train_loader:
-                state, aux = train_step(state, g)
-                losses.append(aux["loss"])
-                if cutoff:
-                    n_edges = int(count_edges(g))
-                    tp.update(n_edges)
-                    # overflow accounting: static caps silently drop edges
-                    # (SURVEY §7 hard part 1) — surface it once
-                    if (max_edges and n_edges > max_edges
-                            and not overflow_warned):
-                        print(f"WARNING: batch has {n_edges} radius edges "
-                              f"> model.max_edges={max_edges}; overflow is "
-                              "dropped — raise max_edges", flush=True)
-                        overflow_warned = True
-            train_loss = float(np.mean(jax.device_get(losses)))
+        total_steps = epochs * len(train_loader)
+        prof = StepProfiler(profile_dir or None,
+                            start_step=min(10, max(total_steps - 5, 0)))
+        if debug:
+            # Donation check needs a throwaway state (it invalidates it).
+            assert_donation_discipline(
+                train_step, make_train_state(model, optimizer, example,
+                                             seed + 1), example)
+        dbg_ctx = debug_mode() if debug else contextlib.nullcontext()
 
-            valid_mae = evaluate(state, eval_step, valid_loader, evaluator,
-                                 energy_and_force)
-            test_mae = evaluate(state, eval_step, test_loader, evaluator,
-                                energy_and_force)
-            logger.log(epoch, {"train_loss": train_loss,
-                               "valid_mae": valid_mae, "test_mae": test_mae,
-                               **tp.rates()}, prefix="")
-            if valid_mae < best_valid:
-                best_valid = valid_mae
-                best_test = test_mae
-                if ckpt_mgr is not None:
-                    ckpt_mgr.save(state, step=epoch, metrics={
-                        "valid_mae": valid_mae, "test_mae": test_mae})
+        with dbg_ctx:
+            for epoch in range(1, epochs + 1):
+                tp.reset()
+                losses = []
+                for g in train_loader:
+                    with prof.step():
+                        state, aux = train_step(state, g)
+                    losses.append(aux["loss"])
+                    if cutoff:
+                        n_edges = int(count_edges(g))
+                        tp.update(n_edges)
+                        # overflow accounting: static caps silently drop
+                        # edges (SURVEY §7 hard part 1) — surface it once
+                        if (max_edges and n_edges > max_edges
+                                and not overflow_warned):
+                            print(f"WARNING: batch has {n_edges} radius "
+                                  f"edges > model.max_edges={max_edges}; "
+                                  "overflow is dropped — raise max_edges",
+                                  flush=True)
+                            overflow_warned = True
+                train_loss = float(np.mean(jax.device_get(losses)))
+
+                valid_mae = evaluate(state, eval_step, valid_loader,
+                                     evaluator, energy_and_force)
+                test_mae = evaluate(state, eval_step, test_loader, evaluator,
+                                    energy_and_force)
+                logger.log(epoch, {"train_loss": train_loss,
+                                   "valid_mae": valid_mae,
+                                   "test_mae": test_mae,
+                                   **tp.rates()}, prefix="")
+                if valid_mae < best_valid:
+                    best_valid = valid_mae
+                    best_test = test_mae
+                    if ckpt_mgr is not None:
+                        ckpt_mgr.save(state, step=epoch, metrics={
+                            "valid_mae": valid_mae, "test_mae": test_mae})
+        prof.stop()
         logger.close()
         return {"best_valid": best_valid, "best_test": best_test,
                 "state": state}
