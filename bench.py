@@ -156,6 +156,85 @@ def bench_spherenet():
             "spherenet_step_ms": round(dt / n_steps * 1e3, 3)}
 
 
+def bench_force():
+    """Secondary metric: MD17-style energy+force training (force = -dE/dpos
+    inside the loss, so the step differentiates the energy twice). The
+    fused Pallas cfconv's custom_vjp is first-order only, so this workload
+    runs the bf16 einsum path, which XLA can differentiate at any order
+    (matches the reference's double autograd pass at
+    dig/threedgraph/method/run.py:126)."""
+    from dig_tpu.datasets import (BucketedDenseMoleculeLoader,
+                                  synthetic_morse_molecules)
+    from dig_tpu.graph_dense import radius_adjacency
+    from dig_tpu.models import SchNetDense
+
+    n_steps = 20
+    slot_counts = {16: 126, 24: 190, 32: 118}
+    mols = synthetic_morse_molecules(460 * (n_steps + 5), seed=0,
+                                     min_atoms=12, max_atoms=29)
+    loader = BucketedDenseMoleculeLoader(mols, slot_counts, max_per_slot=2,
+                                         shuffle=True, seed=0)
+    model = SchNetDense(cutoff=5.0, num_layers=4, hidden_channels=128,
+                        num_filters=128, num_gaussians=50,
+                        compute_dtype=jnp.bfloat16, use_pallas=False)
+    it = iter(loader)
+    batches = [next(it) for _ in range(n_steps)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    keys = sorted(batches[0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0][keys[0]])
+    opt = optax.adam(5e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, b):
+        num = den = 0.0
+        for k in keys:
+            bk = b[k]
+
+            def esum(pos, bk=bk):
+                e = model.apply(p, bk.replace(pos=pos))
+                return jnp.sum(e * bk.globals["mol_mask"][..., None]), e
+
+            (_, e), gpos = jax.value_and_grad(esum, has_aux=True)(bk.pos)
+            mm = bk.globals["mol_mask"][..., None]
+            num += jnp.sum(jnp.abs(e - bk.globals["y"][..., :1]) * mm)
+            num += 100.0 * jnp.sum(jnp.abs(-gpos - bk.nodes["force"])
+                                   * bk.node_mask[..., None])
+            den += jnp.sum(mm)
+        return num / jnp.maximum(den, 1.0)
+
+    def train_step(carry, b):
+        p, o = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, b)
+        updates, o = opt.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), loss
+
+    @jax.jit
+    def epoch(p, o, s):
+        (p, o), losses = jax.lax.scan(train_step, (p, o), s)
+        return p, o, losses
+
+    @jax.jit
+    def count_edges(stacked):
+        def one(b):
+            _, adj = radius_adjacency(b.pos, b.node_mask, 5.0,
+                                      mol_id=b.nodes.get("mol"))
+            return jnp.sum(adj)
+        return sum(jnp.sum(jax.vmap(one)(stacked[k])) for k in keys)
+
+    edges = int(count_edges(stacked))
+    p, o, losses = epoch(params, opt_state, stacked)
+    float(losses[-1])
+    state = [p, o]
+
+    def run():
+        state[0], state[1], losses = epoch(state[0], state[1], stacked)
+        return losses
+
+    dt = _median_time(run, lambda l: float(l[-1]), trials=3)
+    return {"schnet_force_train_edges_per_s": round(edges / dt, 1),
+            "force_step_ms": round(dt / n_steps * 1e3, 3)}
+
+
 def bench_lsgraph():
     """Secondary metric: partitioned large-graph path (ScalableGNN GCN
     over SubgraphLoader minibatches with the Pallas CSR aggregation)."""
@@ -275,7 +354,7 @@ def main():
     roofline = gbps * 1e9 / bytes_per_edge
 
     extras2 = {}
-    for fn in (bench_spherenet, bench_lsgraph):
+    for fn in (bench_spherenet, bench_force, bench_lsgraph):
         try:
             extras2.update(fn())
         except Exception as e:  # secondary metrics never sink the primary

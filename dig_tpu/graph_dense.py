@@ -128,7 +128,8 @@ def packed_dense_batch_np(
     slot), ``globals['y']`` ([G, max_per_slot, T]) and
     ``globals['mol_mask']`` ([G, max_per_slot] bool). Models must mask
     cross-molecule pairs (``radius_adjacency(..., mol_id=...)``) and read
-    out per (slot, mol).
+    out per (slot, mol). Per-atom extras (e.g. ``force`` for MD17-style
+    energy+force training) ride along as ``nodes[key]`` [G, n_max, ...].
     """
     sizes = [len(m["z"]) for m in mols]
     if any(s > n_max for s in sizes):
@@ -145,6 +146,11 @@ def packed_dense_batch_np(
     mol = np.zeros((G, n_max), np.int32)
     y = np.zeros((G, max_per_slot, T), np.float32)
     mol_mask = np.zeros((G, max_per_slot), bool)
+    node_keys = [k for k, v in mols[0].items()
+                 if k not in ("z", "pos", target_key)
+                 and np.ndim(v) >= 1 and np.shape(v)[0] == sizes[0]]
+    extras = {k: np.zeros((G, n_max) + np.shape(mols[0][k])[1:],
+                          np.asarray(mols[0][k]).dtype) for k in node_keys}
     for g, slot in enumerate(slots):
         at = 0
         for k, i in enumerate(slot):
@@ -156,11 +162,14 @@ def packed_dense_batch_np(
             mol[g, at:at + n] = k
             y[g, k] = np.atleast_1d(m[target_key])
             mol_mask[g, k] = True
+            for kk in node_keys:
+                extras[kk][g, at:at + n] = m[kk]
             at += n
     return DenseGraphBatch(
         z=jnp.asarray(z), pos=jnp.asarray(pos), node_mask=jnp.asarray(mask),
         globals={"y": jnp.asarray(y), "mol_mask": jnp.asarray(mol_mask)},
-        nodes={"mol": jnp.asarray(mol)},
+        nodes={"mol": jnp.asarray(mol),
+               **{k: jnp.asarray(v) for k, v in extras.items()}},
     )
 
 

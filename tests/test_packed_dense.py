@@ -103,3 +103,27 @@ def test_bucketed_loader_coverage_and_occupancy():
                                       shuffle=True, seed=3)
     b1 = [np.asarray(batch[32].z) for batch in ld2]
     assert len(b1) >= 1
+
+
+def test_packed_batch_carries_node_extras():
+    """Per-atom extras (force) ride into nodes[...] at the right offsets,
+    enabling MD17-style energy+force training on packed batches."""
+    import numpy as np
+    from dig_tpu.datasets import synthetic_morse_molecules
+
+    mols = synthetic_morse_molecules(10, seed=3, min_atoms=4, max_atoms=10)
+    b = packed_dense_batch_np(mols, num_slots=6, n_max=16, max_per_slot=2)
+    f = np.asarray(b.nodes["force"])
+    mask = np.asarray(b.node_mask)
+    mol = np.asarray(b.nodes["mol"])
+    assert f.shape == mask.shape + (3,)
+    assert np.all(f[~mask] == 0)
+    # reconstruct per-molecule forces and match the source dicts
+    seen = 0
+    for g in range(mask.shape[0]):
+        for k in sorted(set(mol[g][mask[g]])):
+            rows = f[g][(mol[g] == k) & mask[g]]
+            match = any(np.array_equal(rows, m["force"]) for m in mols)
+            assert match, (g, k)
+            seen += 1
+    assert seen == len(mols)
