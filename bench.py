@@ -236,8 +236,10 @@ def bench_force():
 
 
 def bench_lsgraph():
-    """Secondary metric: partitioned large-graph path (ScalableGNN GCN
-    over SubgraphLoader minibatches with the Pallas CSR aggregation)."""
+    """Secondary metric: partitioned large-graph TRAINING (ScalableGNN GCN
+    over SubgraphLoader minibatches: per-subgraph forward with history
+    pull/push + cross-entropy on in-batch rows + Adam — the GraphFMOB
+    epoch at dig/lsgraph/method/GraphFMOB/models/base.py:91-199)."""
     import numpy as _np
     from dig_tpu.lsgraph import synthetic_large_graph
     from dig_tpu.lsgraph.loader import SubgraphLoader, metis_permute
@@ -251,21 +253,45 @@ def bench_lsgraph():
     model = ScalableGNN("gcn", N, x.shape[1], 128, 8, 3, segment_eb=2048)
     subs = list(loader)
     xg = jnp.asarray(x)
+    yg = jnp.asarray(y)
     params = model.init(jax.random.PRNGKey(0), xg, subs[0])
+    opt = optax.adam(1e-3)
     edges = int(sum(int(_np.asarray(sub.edge_mask).sum()) for sub in subs))
 
     @jax.jit
-    def fwd_all(params, xg):
-        outs = []
-        for sub in subs:
-            out = model.forward(params, model.histories, xg, sub)
-            outs.append(jnp.sum(out[0] if isinstance(out, tuple) else out))
-        return jnp.stack(outs).sum()
+    def train_epoch(params, opt_state, histories, xg, yg):
+        total = 0.0
+        for sub in subs:                       # unrolled: static subgraphs
+            n_id = jnp.asarray(sub.n_id)
+            B = sub.batch_size
 
-    float(fwd_all(params, xg))
-    dt = _median_time(lambda: fwd_all(params, xg), lambda o: float(o),
-                      trials=3)
-    return {"lsgraph_partitioned_fwd_edges_per_s": round(edges / dt, 1)}
+            def loss_fn(p, histories=histories, sub=sub, n_id=n_id, B=B):
+                out, new_h = model.forward(p, histories, xg, sub)
+                logits = out[:B]
+                labels = yg[n_id[:B]]
+                m = jnp.asarray(sub.node_mask[:B])
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels)
+                return jnp.sum(jnp.where(m, ce, 0.0)) / jnp.maximum(
+                    jnp.sum(m), 1), new_h
+
+            (loss, histories), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            total = total + loss
+        return params, opt_state, histories, total
+
+    state = [params, opt.init(params), model.histories]
+    out = train_epoch(*state, xg, yg)
+    float(out[3])
+
+    def run():
+        state[0], state[1], state[2], tot = train_epoch(*state, xg, yg)
+        return tot
+
+    dt = _median_time(run, lambda o: float(o), trials=3)
+    return {"lsgraph_partitioned_train_edges_per_s": round(edges / dt, 1)}
 
 
 def main():

@@ -1,7 +1,7 @@
 from .qm9 import QM93D
 from .md17 import MD17
-from .synthetic import (synthetic_molecules,
-                        synthetic_morse_molecules, morse_energy)
+from .synthetic import (morse_energy, synthetic_crystals,
+                        synthetic_molecules, synthetic_morse_molecules)
 from .loader import (MoleculeLoader, DenseMoleculeLoader,
                      PackedDenseMoleculeLoader,
                      BucketedDenseMoleculeLoader)
@@ -11,7 +11,8 @@ from .proteins import (ECdataset, FOLDdataset, ProteinLoader,
                        synthetic_proteins)
 
 __all__ = ["QM93D", "MD17", "synthetic_molecules",
-           "synthetic_morse_molecules", "morse_energy", "MoleculeLoader", "DenseMoleculeLoader",
+           "synthetic_morse_molecules", "morse_energy", "synthetic_crystals",
+           "MoleculeLoader", "DenseMoleculeLoader",
            "PackedDenseMoleculeLoader", "BucketedDenseMoleculeLoader",
            "GraphClsLoader", "synthetic_graph_dataset", "load_tu_dataset",
            "degree_onehot", "ECdataset", "FOLDdataset", "ProteinLoader",

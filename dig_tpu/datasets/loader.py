@@ -62,9 +62,12 @@ class MoleculeLoader:
                 nodes = {"z": m["z"], "pos": m["pos"]}
                 if "force" in m:
                     nodes["force"] = m["force"]
+                glb = {"y": np.atleast_1d(m["y"])}
+                if "cell" in m:          # periodic structures (ops/pbc.py)
+                    glb["cell"] = m["cell"]
                 graphs.append({
                     "nodes": nodes,
-                    "globals": {"y": np.atleast_1d(m["y"])},
+                    "globals": glb,
                     "senders": np.zeros(0, np.int32),
                     "receivers": np.zeros(0, np.int32),
                 })

@@ -214,12 +214,7 @@ class ScalableGNN:
         on every batch before layer l+1, so histories are always fresh."""
         histories = [History.create(self.num_nodes, self.hidden)
                      for _ in range(self.num_layers - 1)]
-        outs = jnp.zeros((self.num_nodes, 0))
         out_rows = None
-        for _ in range(1):
-            # single pass is exact when batches cover all nodes and layers
-            # pull only already-pushed exact rows; iterate num_layers times
-            pass
         for sweep in range(self.num_layers):
             results = []
             for sub in loader:

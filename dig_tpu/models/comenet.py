@@ -118,7 +118,16 @@ class SimpleInteractionBlock(nn.Module):
 
 
 class ComENet(nn.Module):
-    """Defaults mirror comenet.py:232-242."""
+    """Defaults mirror comenet.py:232-242.
+
+    ``use_pbc=True`` is the OCP-framework variant (reference
+    ``comenet/ocp/comenet-ocp.py:274-358``, optional-dep-gated there):
+    crystals with ``g.globals['cell']`` [G, 3, 3] lattice vectors get a
+    periodic radius graph (:mod:`dig_tpu.ops.pbc`), and all local-frame
+    geometry runs on minimum-image displacement vectors. Energy+forces
+    (S2EF) come from the generic trainer's dE/dpos, which differentiates
+    through the periodic displacements.
+    """
 
     cutoff: float = 8.0
     num_layers: int = 4
@@ -129,6 +138,8 @@ class ComENet(nn.Module):
     num_spherical: int = 2
     num_output_layers: int = 3
     max_edges: int = 4096
+    use_pbc: bool = False
+    pbc_images: int = 1
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -136,11 +147,22 @@ class ComENet(nn.Module):
         pos = g.nodes["pos"]
         N = g.num_nodes
 
-        senders, receivers, edge_mask = radius_graph_flat(
-            pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges)
-        j, i = senders, receivers
-        vecs = pos[j] - pos[i]
-        dist = edge_distances(pos, senders, receivers, edge_mask)
+        if self.use_pbc:
+            from ..ops.pbc import radius_graph_pbc_flat
+            pg = radius_graph_pbc_flat(
+                pos, g.globals["cell"], g.node_graph, g.node_mask,
+                self.cutoff, self.max_edges, images=self.pbc_images)
+            senders, receivers, edge_mask = (pg.senders, pg.receivers,
+                                             pg.edge_mask)
+            j, i = senders, receivers
+            vecs = pg.edge_vec
+            dist = pg.edge_dist
+        else:
+            senders, receivers, edge_mask = radius_graph_flat(
+                pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges)
+            j, i = senders, receivers
+            vecs = pos[j] - pos[i]
+            dist = edge_distances(pos, senders, receivers, edge_mask)
 
         # nearest (n0) and second-nearest (n1) neighbor edge per node, on
         # both the receiver (i) and sender (j) sides (comenet.py:303-327)
@@ -179,6 +201,30 @@ class ComENet(nn.Module):
             b = jnp.where(jnp.abs(b) < 1e-5 * jnp.abs(a), 0.0, b)
             return jnp.arctan2(b, a)
 
+        def _unit(v):
+            n2 = jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-24)
+            return v * jax.lax.rsqrt(n2)
+
+        def _plane_dihedral(u, r1, r2):
+            """Angle in [0, pi] between planes span(u, r1) / span(u, r2)
+            around axis u (all unit vectors). When a reference vector is
+            (anti)parallel to the edge — e.g. the reference neighbor IS
+            the edge itself, common under PBC — the plane is degenerate
+            and the angle undefined; the reference's torch code then hits
+            atan2(0, 0) == 0, so we snap to 0 too. Degeneracy is detected
+            on the plane NORM (sin^2 of the vector angle): XLA's FMA
+            contraction leaves ~1e-6 rotation-dependent residuals in
+            exactly-parallel cross products, so testing atan2's arguments
+            against 0 is not deterministic."""
+            p1 = jnp.cross(u, r1)
+            p2 = jnp.cross(u, r2)
+            deg = (jnp.sum(p1 * p1, -1) < 1e-6) | (
+                jnp.sum(p2 * p2, -1) < 1e-6)
+            a = jnp.where(deg, 1.0, jnp.sum(p1 * p2, -1))
+            b = jnp.where(deg, 0.0, jnp.sum(jnp.cross(p1, p2) * u, -1))
+            ang = _safe_atan2(b, a)
+            return jnp.where(ang < 0, ang + jnp.pi, ang)
+
         # theta (comenet.py:365-369)
         a = jnp.sum((-pos_ji) * pos_in0, -1)
         cr = jnp.cross(-pos_ji, pos_in0)
@@ -186,22 +232,12 @@ class ComENet(nn.Module):
         theta = _safe_atan2(b, a)
         theta = jnp.where(theta < 0, theta + jnp.pi, theta)
 
-        dist_ji = jnp.maximum(dist, 1e-9)
-        # phi (comenet.py:371-378)
-        plane1 = jnp.cross(-pos_ji, pos_in0)
-        plane2 = jnp.cross(-pos_ji, pos_in1)
-        a = jnp.sum(plane1 * plane2, -1)
-        b = jnp.sum(jnp.cross(plane1, plane2) * pos_ji, -1) / dist_ji
-        phi = _safe_atan2(b, a)
-        phi = jnp.where(phi < 0, phi + jnp.pi, phi)
-
+        u_ji = _unit(pos_ji)
+        # phi (comenet.py:371-378); planes use -pos_ji there, but negating
+        # both plane normals changes neither p1.p2 nor p1 x p2
+        phi = _plane_dihedral(u_ji, _unit(pos_in0), _unit(pos_in1))
         # tau (comenet.py:380-386)
-        plane1 = jnp.cross(pos_ji, pos_jref_j)
-        plane2 = jnp.cross(pos_ji, pos_iref)
-        a = jnp.sum(plane1 * plane2, -1)
-        b = jnp.sum(jnp.cross(plane1, plane2) * pos_ji, -1) / dist_ji
-        tau = _safe_atan2(b, a)
-        tau = jnp.where(tau < 0, tau + jnp.pi, tau)
+        tau = _plane_dihedral(u_ji, _unit(pos_jref_j), _unit(pos_iref))
 
         # basis features (comenet features.py: same construction as
         # spherenet but per edge)
@@ -230,3 +266,8 @@ class ComENet(nn.Module):
             x = swish(nn.Dense(self.hidden_channels, kernel_init=xavier)(x))
         x = nn.Dense(self.out_channels, kernel_init=xavier)(x)
         return segment_sum(x, g.node_graph, g.num_graphs, mask=g.node_mask)
+
+
+class ComENetOCP(ComENet):
+    """OCP/S2EF configuration: periodic crystals (comenet-ocp.py:274)."""
+    use_pbc: bool = True

@@ -22,7 +22,10 @@ Array = jax.Array
 
 def _pairwise_same_graph(pos: Array, node_graph: Array, node_mask: Array):
     sq = jnp.sum(pos * pos, axis=-1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (pos @ pos.T)
+    # geometry must be exact f32: TPU f32 matmuls default to bf16 passes,
+    # which misclassifies pairs near the cutoff (~0.2 A error at d~10 A)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        pos, pos.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(d2, 0.0)
     n = pos.shape[0]
     same = node_graph[:, None] == node_graph[None, :]

@@ -1,0 +1,59 @@
+"""Best-effort QM9 surrogate: train the flagship SphereNet (and optionally
+SchNet with energy+force) on Morse-potential-labelled molecules — a real
+physical energy surface with analytic forces — and report the MAE
+trajectory. This is the data-free stand-in for the graded QM9-U0 number
+(reports/qm9_mae.md): the real benchmark runs unchanged via
+run_spherenet_qm9.py once a `qm9_eV.npz` cache exists.
+
+Reference workload shape: dig/threedgraph/method/run.py:13-180 (Adam +
+StepLR, energy+force loss via a second autograd pass at run.py:126).
+"""
+import argparse
+
+import jax.numpy as jnp
+
+from dig_tpu.datasets import synthetic_morse_molecules
+from dig_tpu.models import SchNet, SphereNet
+from dig_tpu.threed import Run3D, ThreeDEvaluator
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--model", default="spherenet",
+                    choices=["spherenet", "schnet"])
+parser.add_argument("--epochs", type=int, default=30)
+parser.add_argument("--n_train", type=int, default=4096)
+parser.add_argument("--n_valid", type=int, default=512)
+parser.add_argument("--batch_size", type=int, default=24)
+parser.add_argument("--forces", action="store_true",
+                    help="energy+force loss (force = -dE/dpos in-trace)")
+parser.add_argument("--lr", type=float, default=1e-3)
+args = parser.parse_args()
+
+n = args.n_train + 2 * args.n_valid
+mols = synthetic_morse_molecules(n, seed=0, min_atoms=12, max_atoms=29)
+# standardize targets to unit variance for a comparable MAE scale
+import numpy as np
+ys = np.array([m["y"][0] for m in mols])
+mu, sd = ys.mean(), ys.std()
+for m in mols:
+    m["y"] = ((m["y"][:1] - mu) / sd).astype(np.float32)
+    if "force" in m:
+        m["force"] = (m["force"] / sd).astype(np.float32)
+train = mols[:args.n_train]
+valid = mols[args.n_train:args.n_train + args.n_valid]
+test = mols[args.n_train + args.n_valid:]
+
+if args.model == "spherenet":
+    model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
+                      num_spherical=3, num_radial=6, nk_degree=16,
+                      compute_dtype=jnp.bfloat16)
+else:
+    model = SchNet(cutoff=5.0, num_layers=4, hidden_channels=128,
+                   num_filters=128, num_gaussians=50, max_edges=16384)
+
+res = Run3D().run(train, valid, test, model, ThreeDEvaluator(),
+                  epochs=args.epochs, batch_size=args.batch_size,
+                  vt_batch_size=args.batch_size, lr=args.lr,
+                  lr_decay_factor=0.5, lr_decay_step_size=15,
+                  energy_and_force=args.forces, p=100.0,
+                  n_node_pad=args.batch_size * 29)
+print({k: v for k, v in res.items() if k != "state"})
