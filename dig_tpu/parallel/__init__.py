@@ -27,6 +27,9 @@ from .dp import make_dp_train_step, make_dp_eval_step
 from .gp import (GPGraph, prepare_gp_graph, slab_layout,
                  make_gp_train_step, make_gp_engine,
                  GPLocalGraph, unslab_layout)
+from .tp import (make_tp_train_step, make_tp_eval_step, tp_param_specs,
+                 tp_shard)
+from .pp import make_pp_train_step, pipeline_apply, pp_shard_params
 
 __all__ = [
     "make_mesh", "shard_graph_batch", "replicate", "data_parallel_sharding",
@@ -36,4 +39,6 @@ __all__ = [
     "make_dp_train_step", "make_dp_eval_step",
     "GPGraph", "prepare_gp_graph", "slab_layout", "make_gp_train_step",
     "make_gp_engine", "GPLocalGraph", "unslab_layout",
+    "make_tp_train_step", "make_tp_eval_step", "tp_param_specs", "tp_shard",
+    "make_pp_train_step", "pipeline_apply", "pp_shard_params",
 ]
