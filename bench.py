@@ -97,20 +97,22 @@ def bench_spherenet():
     of real pairs) beats the compacted edge list because the graph build is
     sort-free and the edge->node reduction is a reshape-sum. bf16 compute
     (f32 params/basis/readout, max rel. energy err vs f32 < 1%) is another
-    +48%; G=24 molecules/batch is the throughput knee before the flat-layout
-    N^2 distance matrix starts to dominate. Edges are counted host-side
-    against the TRUE uncapped radius graph.
+    +48%. Slot-aligned batches (slot_size=29 + block_size) switch the
+    radius/top-k/symmetrize tables to per-molecule [G, B, B] blocks AND
+    turn the triplet gather + its adjoint into [K, C] block gathers
+    (ops/triplets.expand_kj NK branch): 536k -> 666k edges/s. Edges are
+    counted host-side against the TRUE uncapped radius graph.
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
 
-    G, n_steps = 24, 10
+    G, n_steps = 48, 10
     mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
                                max_atoms=29, box=6.0)
-    loader = MoleculeLoader(mols, G, n_node_pad=G * 29, shuffle=True, seed=0)
+    loader = MoleculeLoader(mols, G, slot_size=29, shuffle=True, seed=0)
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
-                      compute_dtype=jnp.bfloat16)
+                      block_size=29, compute_dtype=jnp.bfloat16)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]

@@ -31,14 +31,18 @@ class MoleculeLoader:
 
     def __init__(self, data: Sequence[Dict[str, np.ndarray]], batch_size: int,
                  n_node_pad: Optional[int] = None, shuffle: bool = False,
-                 seed: int = 0, drop_last: Optional[bool] = None):
+                 seed: int = 0, drop_last: Optional[bool] = None,
+                 slot_size: Optional[int] = None):
         self.data = list(data)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
         self.drop_last = shuffle if drop_last is None else drop_last
-        if n_node_pad is None:
+        self.slot_size = slot_size
+        if slot_size is not None:
+            n_node_pad = batch_size * slot_size
+        elif n_node_pad is None:
             max_atoms = max(len(m["z"]) for m in self.data)
             n_node_pad = batch_size * max_atoms
         self.n_node_pad = n_node_pad
@@ -72,7 +76,8 @@ class MoleculeLoader:
                     "receivers": np.zeros(0, np.int32),
                 })
             yield batch_np(graphs, self.n_node_pad, n_edge_pad=1,
-                           num_graphs=self.batch_size)
+                           num_graphs=self.batch_size,
+                           slot_size=self.slot_size)
 
 
 class DenseMoleculeLoader:

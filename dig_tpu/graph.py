@@ -108,6 +108,7 @@ def batch_np(
     n_node_pad: int,
     n_edge_pad: int,
     num_graphs: Optional[int] = None,
+    slot_size: Optional[int] = None,
 ) -> GraphBatch:
     """Host-side (numpy) batching of a list of graph dicts into one GraphBatch.
 
@@ -118,10 +119,17 @@ def batch_np(
     Pads nodes to ``n_node_pad``, edges to ``n_edge_pad``, graphs to
     ``num_graphs`` (default ``len(graphs)``). Raises if real content exceeds
     the caps — sizing policy (bucketing) is the caller's job.
+
+    ``slot_size``: slot-aligned layout — graph ``gi``'s nodes start at row
+    ``gi * slot_size`` (each graph must fit its slot). Enables the blocked
+    O(G * B^2) radius builder (:func:`dig_tpu.ops.radius.radius_graph_nk_blocked`).
     """
     G = num_graphs if num_graphs is not None else len(graphs)
     if len(graphs) > G:
         raise ValueError(f"{len(graphs)} graphs > num_graphs={G}")
+    if slot_size is not None and G * slot_size > n_node_pad:
+        raise ValueError(
+            f"{G} slots x {slot_size} > n_node_pad={n_node_pad}")
 
     tot_n = sum(int(g.get("n_node", len(next(iter(g["nodes"].values()))))) for g in graphs)
     tot_e = sum(int(len(g.get("senders", ()))) for g in graphs)
@@ -165,6 +173,10 @@ def batch_np(
     for gi, g in enumerate(graphs):
         nn = int(g.get("n_node", len(next(iter(g["nodes"].values())))))
         ne = int(len(g.get("senders", ())))
+        if slot_size is not None:
+            if nn > slot_size:
+                raise ValueError(f"graph {gi}: {nn} nodes > slot_size={slot_size}")
+            n_off = gi * slot_size
         for k in node_keys:
             if k in g["nodes"]:
                 nodes[k][n_off:n_off + nn] = np.asarray(g["nodes"][k])

@@ -35,7 +35,8 @@ import numpy as np
 from ..graph import GraphBatch
 from ..nn.init import glorot_orthogonal
 from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
-from ..ops.radius import radius_graph_flat, radius_graph_nk
+from ..ops.radius import (radius_graph_flat, radius_graph_nk,
+                          radius_graph_nk_blocked)
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
@@ -257,9 +258,16 @@ class _SphericalMPNN(nn.Module):
     nk_degree: int = 0   # >0: [N, K] neighbor-table layout (radius_graph_nk)
     # instead of the compacted edge list — zero sorts in the graph build and
     # a reshape-sum edge->node aggregation; K doubles as max_in_degree.
+    block_size: int = 0  # >0 (with nk_degree > 0): slot-aligned batches
+    # (MoleculeLoader(slot_size=block_size)) — the radius/top-k/symmetrize
+    # tables run per [G, B, B] block instead of [N, N] (24x fewer pair
+    # candidates at the flagship bench shape; see radius_graph_nk_blocked)
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16: run the
     # dense/embedding compute on the MXU in bf16 (params + geometry/basis
     # stay f32; the final readout projection is always f32)
+    remat: bool = False  # rematerialize UpdateE in the backward pass: the
+    # triplet-path [T, int_emb] tensors dominate HBM traffic, so recomputing
+    # them beats storing them on this HBM-bound step (jax.checkpoint)
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -269,8 +277,12 @@ class _SphericalMPNN(nn.Module):
         G = g.num_graphs
 
         if self.nk_degree > 0:
-            nkg = radius_graph_nk(pos, g.node_graph, g.node_mask,
-                                  self.cutoff, self.nk_degree)
+            if self.block_size > 0:
+                nkg = radius_graph_nk_blocked(pos, g.node_mask, self.cutoff,
+                                              self.nk_degree, self.block_size)
+            else:
+                nkg = radius_graph_nk(pos, g.node_graph, g.node_mask,
+                                      self.cutoff, self.nk_degree)
             senders, receivers, edge_mask = (nkg.senders, nkg.receivers,
                                              nkg.edge_mask)
             dist = edge_distances(pos, senders, receivers, edge_mask)
@@ -307,15 +319,20 @@ class _SphericalMPNN(nn.Module):
                     dtype=dt)(e2, receivers, edge_mask, N)
         u = segment_sum(v, g.node_graph, G, mask=g.node_mask)
 
-        for _ in range(self.num_layers):
-            e1, e2 = UpdateE(self.hidden_channels, self.int_emb_size,
-                             self.basis_emb_size_dist,
-                             self.basis_emb_size_angle,
-                             self.basis_emb_size_torsion,
-                             self.use_torsion,
-                             self.num_before_skip,
-                             self.num_after_skip,
-                             dtype=dt)(e1, rbf0, sbf, tbf, trip)
+        UE = nn.remat(UpdateE, static_argnums=()) if self.remat else UpdateE
+        for li in range(self.num_layers):
+            # explicit name: remat-lifted modules otherwise get a
+            # "CheckpointUpdateE_i" scope, breaking param interchange with
+            # the non-remat path
+            e1, e2 = UE(self.hidden_channels, self.int_emb_size,
+                        self.basis_emb_size_dist,
+                        self.basis_emb_size_angle,
+                        self.basis_emb_size_torsion,
+                        self.use_torsion,
+                        self.num_before_skip,
+                        self.num_after_skip,
+                        dtype=dt,
+                        name=f"UpdateE_{li}")(e1, rbf0, sbf, tbf, trip)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,
                         self.out_channels, self.num_output_layers,
                         self.output_init, segment_eb=self.segment_eb,

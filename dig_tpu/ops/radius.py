@@ -165,3 +165,71 @@ def radius_overflow(pos: Array, node_graph: Array, node_mask: Array,
     d2, valid = _pairwise_same_graph(pos, node_graph, node_mask)
     total = jnp.sum(valid & (d2 < cutoff * cutoff))
     return jnp.maximum(total - max_edges, 0)
+
+
+def radius_graph_nk_blocked(pos: Array, node_mask: Array, cutoff: float,
+                            k: int, block: int) -> NKGraph:
+    """:func:`radius_graph_nk` for *slot-aligned* batches — O(G * B^2)
+    instead of O(N^2).
+
+    When the loader places every molecule in its own fixed-size slot of
+    ``block`` node rows (``MoleculeLoader(slot_size=...)``), all candidate
+    pairs live inside a block: the distance matrix becomes ``[G, B, B]``
+    block-diagonal and the top-k / symmetrization / reverse-slot tables are
+    per-block index arithmetic. At the flagship bench shape (24 molecules x
+    29-atom slots) that is 24x fewer pair candidates than the global
+    ``[N, N]`` matrix, which is ~40% of the whole SphereNet forward there.
+
+    Emits the exact :class:`NKGraph` contract (global node/edge indices),
+    so :func:`~dig_tpu.ops.triplets.build_triplets_nk` and everything
+    downstream run unchanged. Same replacement target as radius_graph_nk:
+    ``torch_cluster.radius_graph`` at dig/threedgraph/method/spherenet/
+    spherenet.py:304.
+    """
+    N = pos.shape[0]
+    assert N % block == 0, (N, block)
+    nb = N // block
+    p = pos.reshape(nb, block, 3)
+    m = node_mask.reshape(nb, block)
+    sq = jnp.sum(p * p, axis=-1)
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum(
+        "bnd,bmd->bnm", p, p, precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(d2, 0.0)
+    valid = (m[:, :, None] & m[:, None, :]
+             & ~jnp.eye(block, dtype=bool)[None])
+    adj = valid & (d2 < cutoff * cutoff)
+    score = jnp.where(adj, -d2, -jnp.inf)
+    kk = min(k, block)  # a block holds at most block-1 neighbors
+    vals, lidx = jax.lax.top_k(score, kk)                 # [nb, B, kk] local
+    if kk < k:          # pad the K axis so edge ids stay e = i*k + d
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, k - kk)),
+                       constant_values=-jnp.inf)
+        lidx = jnp.pad(lidx, ((0, 0), (0, 0), (0, k - kk)))
+    nbr_mask = vals > -jnp.inf
+    lidx = jnp.where(nbr_mask, lidx, 0).astype(jnp.int32)
+
+    # symmetrize: keep an edge only with its reverse (matches flat builder)
+    kept = jnp.any((lidx[:, :, :, None]
+                    == jnp.arange(block)[None, None, None, :])
+                   & nbr_mask[:, :, :, None], axis=2)     # [nb, B, B]
+    mutual = jnp.take_along_axis(
+        kept.transpose(0, 2, 1), lidx, axis=2)            # kept[b, lidx, i]
+    nbr_mask = nbr_mask & mutual
+
+    # rev_slot[b, i, d] = position of i in row lidx[b, i, d]
+    nbr_of_m = jax.vmap(lambda lb: lb[lb])(lidx)          # [nb, B, K, K]
+    nm_of = jax.vmap(lambda mb, lb: mb[lb])(nbr_mask, lidx)
+    hit = ((nbr_of_m == jnp.arange(block)[None, :, None, None]) & nm_of)
+    rev_slot = jnp.argmax(hit, axis=3).astype(jnp.int32)
+
+    off = (jnp.arange(nb, dtype=jnp.int32) * block)[:, None, None]
+    gidx = (lidx + off).reshape(N, k)
+    nbr_mask = nbr_mask.reshape(N, k)
+    rev_slot = rev_slot.reshape(N, k)
+    nbr_idx = jnp.where(nbr_mask, gidx, 0)
+    rev_edge = jnp.where(nbr_mask, nbr_idx * k + rev_slot, 0)
+    receivers = jnp.repeat(jnp.arange(N, dtype=jnp.int32), k)
+    return NKGraph(nbr_idx=nbr_idx, nbr_mask=nbr_mask, rev_edge=rev_edge,
+                   senders=nbr_idx.reshape(-1),
+                   receivers=jnp.where(nbr_mask.reshape(-1), receivers, 0),
+                   edge_mask=nbr_mask.reshape(-1))

@@ -40,6 +40,12 @@ class Triplets(NamedTuple):
     senders: Array      # [E] the edge list the triplets were built from
     receivers: Array    # [E]
     edge_mask: Array    # [E]
+    # NK-layout extras (None on the sorted-flat path): enable [K, C]
+    # BLOCK gathers in expand_kj instead of [T] row gathers — contiguous
+    # 128-lane-aligned blocks instead of C-element rows, which is the
+    # difference between a vector load and a serialized gather on TPU.
+    nk_nbr: Optional[Array] = None  # [N, K] sender table (nbr_idx)
+    nk_rev: Optional[Array] = None  # [N, K] reverse-edge ids (rev_edge)
 
 
 def build_in_edge_table(receivers: Array, edge_mask: Array, num_nodes: int,
@@ -191,6 +197,8 @@ def build_triplets_nk(g) -> Triplets:
         senders=g.senders,
         receivers=g.receivers,
         edge_mask=g.edge_mask,
+        nk_nbr=g.nbr_idx,
+        nk_rev=g.rev_edge,
     )
 
 
@@ -208,6 +216,57 @@ def edges_to_nodes_nk(data: Array, num_nodes: int,
     return data.reshape(num_nodes, K, *data.shape[1:]).sum(axis=1)
 
 
+@jax.custom_vjp
+def _expand_kj(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
+    return jnp.where(mask[:, None], x[idx_kj], 0)
+
+
+def _expand_kj_fwd(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
+    return _expand_kj(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask), (
+        mask, kj_bwd_idx, kj_bwd_mask)
+
+
+def _expand_kj_bwd(res, ct):
+    mask, kj_bwd_idx, kj_bwd_mask = res
+    ct = jnp.where(mask[:, None], ct, 0)
+    g = ct[kj_bwd_idx]                                # [E, D, F]
+    g = jnp.where(kj_bwd_mask[:, :, None], g, 0)
+    return (g.sum(axis=1), None, None, None, None)
+
+
+_expand_kj.defvjp(_expand_kj_fwd, _expand_kj_bwd)
+
+
+@jax.custom_vjp
+def _expand_kj_nk(x, mask, nk_nbr, nk_rev, in_mask):
+    N, K = nk_nbr.shape
+    x3 = x.reshape(N, K, x.shape[-1])
+    out = x3[nk_nbr]                                  # [N, K, K, C] blocks
+    return jnp.where(mask[:, None], out.reshape(mask.shape[0], -1), 0)
+
+
+def _expand_kj_nk_fwd(x, mask, nk_nbr, nk_rev, in_mask):
+    return _expand_kj_nk(x, mask, nk_nbr, nk_rev, in_mask), (
+        mask, nk_rev, in_mask)
+
+
+def _expand_kj_nk_bwd(res, ct):
+    # dL/dx[j*K+dd] = sum over j's out-edges (i, d) of ct[(i*K+d)*K + dd]:
+    # the out-edges of j are exactly rev_edge[j, :], so the adjoint is one
+    # [K, C]-block gather by nk_rev plus a sum over the neighbor axis.
+    mask, nk_rev, in_mask = res
+    N, K = nk_rev.shape
+    C = ct.shape[-1]
+    ct = jnp.where(mask[:, None], ct, 0)
+    ctE = ct.reshape(N * K, K, C)
+    g4 = ctE[nk_rev]                                  # [N, K(m), K(dd), C]
+    g4 = jnp.where(in_mask[:, :, None, None], g4, 0)
+    return (g4.sum(axis=1).reshape(N * K, C), None, None, None, None)
+
+
+_expand_kj_nk.defvjp(_expand_kj_nk_fwd, _expand_kj_nk_bwd)
+
+
 def expand_kj(x: Array, trip: Triplets) -> Array:
     """Gather per-edge rows ``x [E, F]`` to triplet rows ``[T, F]`` via
     ``idx_kj``, zeroing masked triplets — with a scatter-free custom VJP.
@@ -219,22 +278,20 @@ def expand_kj(x: Array, trip: Triplets) -> Array:
     adjoint is itself a dense gather over the precomputed reverse table
     ``trip.kj_bwd_idx`` plus a sum over the degree axis — MXU/VPU-friendly
     and deterministic.
+
+    The index tables are explicit custom_vjp arguments (not closure
+    captures): a custom_vjp closing over traced arrays leaks tracers under
+    ``jax.checkpoint`` (the SphereNet ``remat=True`` path).
+
+    NK layout (``trip.nk_nbr`` set): both the gather and its adjoint run as
+    [K, C]-block gathers (see the Triplets field comment) — same math,
+    contiguous memory.
     """
-    @jax.custom_vjp
-    def f(x):
-        return jnp.where(trip.mask[:, None], x[trip.idx_kj], 0)
-
-    def fwd(x):
-        return f(x), ()
-
-    def bwd(_, ct):
-        ct = jnp.where(trip.mask[:, None], ct, 0)
-        g = ct[trip.kj_bwd_idx]                       # [E, D, F]
-        g = jnp.where(trip.kj_bwd_mask[:, :, None], g, 0)
-        return (g.sum(axis=1),)
-
-    f.defvjp(fwd, bwd)
-    return f(x)
+    if trip.nk_nbr is not None:
+        return _expand_kj_nk(x, trip.mask, trip.nk_nbr, trip.nk_rev,
+                             trip.in_mask)
+    return _expand_kj(x, trip.mask, trip.idx_kj, trip.kj_bwd_idx,
+                      trip.kj_bwd_mask)
 
 
 def triplets_to_edges(data: Array, num_edges: int,

@@ -1,0 +1,131 @@
+"""Slot-aligned blocked NK radius graph + block-gather triplet path
+(ops/radius.radius_graph_nk_blocked, ops/triplets.expand_kj NK branch).
+
+Replacement target: torch_cluster.radius_graph at
+dig/threedgraph/method/spherenet/spherenet.py:304 — the blocked builder is
+the O(G * B^2) fast path for slot-aligned batches."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+from dig_tpu.models import SphereNet
+from dig_tpu.ops.radius import radius_graph_nk, radius_graph_nk_blocked
+from dig_tpu.ops.triplets import (_expand_kj, build_triplets_nk, expand_kj)
+
+
+def _slot_batch(num=8, slot=12, seed=3, box=6.0):
+    mols = synthetic_molecules(num, seed=seed, min_atoms=5, max_atoms=slot,
+                               box=box)
+    return next(iter(MoleculeLoader(mols, num, slot_size=slot)))
+
+
+def _edge_set(nk):
+    m = np.asarray(nk.nbr_mask)
+    i = np.broadcast_to(np.arange(m.shape[0])[:, None], m.shape)
+    j = np.asarray(nk.nbr_idx)
+    return set(zip(i[m].tolist(), j[m].tolist()))
+
+
+@pytest.mark.parametrize("slot,k", [(12, 16), (29, 16), (8, 4)])
+def test_blocked_matches_flat_nk(slot, k):
+    g = _slot_batch(8, slot)
+    a = radius_graph_nk(g.nodes["pos"], g.node_graph, g.node_mask, 5.0, k)
+    b = radius_graph_nk_blocked(g.nodes["pos"], g.node_mask, 5.0, k, slot)
+    ea, eb = _edge_set(a), _edge_set(b)
+    assert ea == eb and len(ea) > 0
+
+
+def test_blocked_rev_edge_involution():
+    g = _slot_batch(8, 12)
+    b = radius_graph_nk_blocked(g.nodes["pos"], g.node_mask, 5.0, 16, 12)
+    m = np.asarray(b.nbr_mask)
+    re = np.asarray(b.rev_edge)
+    s = np.asarray(b.senders)
+    r = np.asarray(b.receivers)
+    em = np.asarray(b.edge_mask)
+    nj = np.asarray(b.nbr_idx)
+    K = m.shape[1]
+    ii, dd = np.nonzero(m)
+    assert len(ii) > 0
+    for i, d in zip(ii, dd):
+        e = re[i, d]
+        assert em[e] and s[e] == i and r[e] == nj[i, d]
+        assert re.reshape(-1)[e] == i * K + d  # reverse of reverse is self
+
+
+def test_expand_kj_nk_block_gather_parity():
+    """NK block-gather expand matches the row-gather version and plain
+    autodiff, forward and VJP."""
+    g = _slot_batch(6, 12, seed=7)
+    nkg = radius_graph_nk_blocked(g.nodes["pos"], g.node_mask, 5.0, 8, 12)
+    trip = build_triplets_nk(nkg)
+    E = nkg.edge_mask.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(0), (E, 16))
+    out_nk = expand_kj(x, trip)
+    out_row = _expand_kj(x, trip.mask, trip.idx_kj, trip.kj_bwd_idx,
+                         trip.kj_bwd_mask)
+    np.testing.assert_allclose(np.asarray(out_nk), np.asarray(out_row),
+                               atol=1e-6)
+    ct = jax.random.normal(jax.random.PRNGKey(1), out_nk.shape)
+    g_nk = jax.vjp(lambda x_: expand_kj(x_, trip), x)[1](ct)[0]
+    g_ref = jax.vjp(lambda x_: jnp.where(trip.mask[:, None],
+                                         x_[trip.idx_kj], 0), x)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(g_nk), np.asarray(g_ref),
+                               atol=1e-5)
+
+
+def test_spherenet_blocked_matches_unblocked():
+    """Full model: block_size path == flat nk path on slot-aligned input."""
+    g = _slot_batch(6, 12, seed=9)
+    kw = dict(cutoff=5.0, num_layers=2, hidden_channels=32,
+              num_spherical=2, num_radial=4, nk_degree=8)
+    m_flat = SphereNet(**kw)
+    m_blk = SphereNet(**kw, block_size=12)
+    params = m_flat.init(jax.random.PRNGKey(0), g)
+    e_flat = m_flat.apply(params, g)
+    e_blk = m_blk.apply(params, g)
+    np.testing.assert_allclose(np.asarray(e_flat), np.asarray(e_blk),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spherenet_remat_matches():
+    g = _slot_batch(6, 12, seed=11)
+    kw = dict(cutoff=5.0, num_layers=2, hidden_channels=32,
+              num_spherical=2, num_radial=4, nk_degree=8, block_size=12)
+    m0 = SphereNet(**kw)
+    m1 = SphereNet(**kw, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), g)
+
+    def loss(mod, p):
+        return jnp.sum(jnp.where(g.graph_mask[:, None], mod.apply(p, g), 0))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_slot_loader_layout():
+    mols = synthetic_molecules(4, seed=0, min_atoms=3, max_atoms=7)
+    g = next(iter(MoleculeLoader(mols, 4, slot_size=8)))
+    nm = np.asarray(g.node_mask)
+    ng = np.asarray(g.node_graph)
+    assert g.num_nodes == 32
+    for gi, m in enumerate(mols):
+        n = len(m["z"])
+        assert nm[gi * 8: gi * 8 + n].all()
+        assert not nm[gi * 8 + n: (gi + 1) * 8].any()
+        assert (ng[gi * 8: gi * 8 + n] == gi).all()
+        np.testing.assert_allclose(
+            np.asarray(g.nodes["pos"][gi * 8: gi * 8 + n]), m["pos"])
+
+
+def test_slot_loader_overflow_raises():
+    mols = synthetic_molecules(4, seed=0, min_atoms=9, max_atoms=12)
+    with pytest.raises(ValueError):
+        next(iter(MoleculeLoader(mols, 4, slot_size=8)))
