@@ -97,11 +97,16 @@ def bench_spherenet():
     of real pairs) beats the compacted edge list because the graph build is
     sort-free and the edge->node reduction is a reshape-sum. bf16 compute
     (f32 params/basis/readout, max rel. energy err vs f32 < 1%) is another
-    +48%. Slot-aligned batches (slot_size=29 + block_size) switch the
-    radius/top-k/symmetrize tables to per-molecule [G, B, B] blocks AND
-    turn the triplet gather + its adjoint into [K, C] block gathers
-    (ops/triplets.expand_kj NK branch): 536k -> 666k edges/s. Edges are
-    counted host-side against the TRUE uncapped radius graph.
+    +48%. Round-2 optimization ladder (all measured on this chip, G=48):
+    slot-aligned [G, B, B] blocked radius build + [K, C] block-gather
+    triplet path 536k -> 666k; fused Pallas triplet-interaction kernel
+    (ops/pallas_triplet.py, basis cotangents elided for energy-only
+    training) -> 776k; kj distances from the triplet frame table instead
+    of a [T] scalar gather (ops/triplets.triplet_kj_distances) + one
+    shared bessel evaluation -> 838k; NK-specialized edge frames
+    (broadcast i-gathers, free kn_tab) -> ~880k edges/s, flat through
+    G=192. Edges are counted host-side against the TRUE uncapped radius
+    graph.
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
@@ -112,7 +117,8 @@ def bench_spherenet():
     loader = MoleculeLoader(mols, G, slot_size=29, shuffle=True, seed=0)
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
-                      block_size=29, compute_dtype=jnp.bfloat16)
+                      block_size=29, compute_dtype=jnp.bfloat16,
+                      pallas_triplet=True, pallas_basis_grads=False)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]

@@ -37,11 +37,12 @@ from ..nn.init import glorot_orthogonal
 from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
+from ..ops.pallas_triplet import fused_triplet_product
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
                             torsion_angles, triplet_geometry,
-                            triplets_to_edges)
+                            triplet_kj_distances, triplets_to_edges)
 
 go2 = glorot_orthogonal(2.0)
 zeros = jax.nn.initializers.zeros
@@ -81,11 +82,17 @@ class AngleEmb(nn.Module):
     num_radial: int
     cutoff: float
 
-    def __call__(self, dist, angle, idx_kj):
-        rbf = bessel_table(self.num_spherical, self.num_radial,
-                           dist / self.cutoff)          # [E, n, k]
+    def __call__(self, dist, angle, idx_kj, rbf_kj=None):
+        # Gather the 1-D dist FIRST (compact [T] rows), not the [E, n, k]
+        # basis rows: a [T]-row gather of an 18-wide (lane-padded to 128)
+        # table ran at 27 GB/s and was 20% of the whole SphereNet train
+        # step on TPU. ``rbf_kj`` lets the caller share one evaluation
+        # between Angle and Torsion embeddings.
+        if rbf_kj is None:
+            rbf_kj = bessel_table(self.num_spherical, self.num_radial,
+                                  dist[idx_kj] / self.cutoff)  # [T, n, k]
         cbf = sph_m0_table(self.num_spherical, angle)   # [T, n]
-        out = rbf[idx_kj] * cbf[:, :, None]             # [T, n, k]
+        out = rbf_kj * cbf[:, :, None]                  # [T, n, k]
         return out.reshape(out.shape[0], -1)
 
 
@@ -97,13 +104,14 @@ class TorsionEmb(nn.Module):
     num_radial: int
     cutoff: float
 
-    def __call__(self, dist, angle, phi, idx_kj):
+    def __call__(self, dist, angle, phi, idx_kj, rbf_kj=None):
         n, k = self.num_spherical, self.num_radial
-        rbf = bessel_table(n, k, dist / self.cutoff)    # [E, n, k]
+        if rbf_kj is None:
+            rbf_kj = bessel_table(n, k, dist[idx_kj] / self.cutoff)
         cbf = sph_full_table(n, angle, phi)             # [T, n*n]
         cbf = cbf.reshape(-1, n, n)
-        # out[t, a, b, c] = cbf[t, a, b] * rbf[idx_kj[t], b, c]
-        out = cbf[:, :, :, None] * rbf[idx_kj][:, None, :, :]
+        # out[t, a, b, c] = cbf[t, a, b] * rbf_kj[t, b, c]
+        out = cbf[:, :, :, None] * rbf_kj[:, None, :, :]
         return out.reshape(out.shape[0], n * n * k)
 
 
@@ -154,6 +162,14 @@ class UpdateE(nn.Module):
     num_after_skip: int = 2
     act: callable = swish
     dtype: Optional[jnp.dtype] = None
+    pallas_triplet: bool = False  # fuse the triplet product + reduction
+    # (ops/pallas_triplet.py) — NK layout only. Same parameters: the two
+    # factorized basis projections are composed into one matrix per step
+    # (rank-limited exactly as the factorized form), extracted from the
+    # same Dense modules via identity application.
+    pallas_basis_grads: bool = True  # False: skip the (lane-padded) basis
+    # cotangent outputs in the fused kernel's backward — valid ONLY for
+    # energy-only training (no dE/dpos in the loss)
 
     @nn.compact
     def __call__(self, e1, rbf0, sbf, tbf, trip: Triplets):
@@ -170,19 +186,40 @@ class UpdateE(nn.Module):
 
         x_kj = self.act(D(self.int_emb_size)(x_kj))
 
-        s = D(self.basis_emb_size_angle)(sbf)
-        s = D(self.int_emb_size)(s)
-        x_kj = expand_kj(x_kj, trip) * s  # masked gather, scatter-free VJP
-
-        if self.use_torsion:
-            t = D(self.basis_emb_size_torsion)(tbf)
-            t = D(self.int_emb_size)(t)
-            x_kj = x_kj * t
-
         num_edges = e1.shape[0]
-        # Triplets are [E, D] row-major, so the idx_ji reduction is a dense
-        # reshape-sum (rows already zeroed by expand_kj's mask).
-        x_kj = triplets_to_edges(x_kj, num_edges)
+        fused = (self.pallas_triplet and self.use_torsion
+                 and trip.nk_nbr is not None)
+        if fused:
+            # identity application returns the kernels themselves without a
+            # [T]-sized intermediate; module order matches the unfused
+            # branch so parameters are interchangeable
+            cdt = self.dtype or jnp.float32
+            ws1 = D(self.basis_emb_size_angle)(
+                jnp.eye(sbf.shape[-1], dtype=cdt))
+            ws2 = D(self.int_emb_size)(
+                jnp.eye(self.basis_emb_size_angle, dtype=cdt))
+            wt1 = D(self.basis_emb_size_torsion)(
+                jnp.eye(tbf.shape[-1], dtype=cdt))
+            wt2 = D(self.int_emb_size)(
+                jnp.eye(self.basis_emb_size_torsion, dtype=cdt))
+            xg = expand_kj(x_kj, trip)
+            K = trip.nk_nbr.shape[1]
+            x_kj = fused_triplet_product(
+                xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, K,
+                basis_grads=self.pallas_basis_grads)
+        else:
+            s = D(self.basis_emb_size_angle)(sbf)
+            s = D(self.int_emb_size)(s)
+            x_kj = expand_kj(x_kj, trip) * s  # masked gather, fused VJP
+
+            if self.use_torsion:
+                t = D(self.basis_emb_size_torsion)(tbf)
+                t = D(self.int_emb_size)(t)
+                x_kj = x_kj * t
+
+            # Triplets are [E, D] row-major, so the idx_ji reduction is a
+            # dense reshape-sum (rows already zeroed by expand_kj's mask).
+            x_kj = triplets_to_edges(x_kj, num_edges)
         x_kj = self.act(D(self.hidden_channels)(x_kj))
 
         e1_new = x_ji + x_kj
@@ -268,6 +305,11 @@ class _SphericalMPNN(nn.Module):
     remat: bool = False  # rematerialize UpdateE in the backward pass: the
     # triplet-path [T, int_emb] tensors dominate HBM traffic, so recomputing
     # them beats storing them on this HBM-bound step (jax.checkpoint)
+    pallas_triplet: bool = False  # fuse the triplet basis-product +
+    # reduction in one Pallas kernel (ops/pallas_triplet.py; NK layout +
+    # torsion only — falls back to the XLA chain otherwise)
+    pallas_basis_grads: bool = True  # see UpdateE.pallas_basis_grads; set
+    # False only for energy-only training
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -297,12 +339,18 @@ class _SphericalMPNN(nn.Module):
 
         rbf0 = DistEmb(self.num_radial, self.cutoff,
                        self.envelope_exponent)(dist)
+        # one shared bessel evaluation on triplet rows (see AngleEmb note);
+        # the kj distance comes from the triplet frame table, not a gather
+        dist_kj = triplet_kj_distances(pos, trip)
+        rbf_kj = bessel_table(self.num_spherical, self.num_radial,
+                              dist_kj / self.cutoff)
         sbf = AngleEmb(self.num_spherical, self.num_radial,
-                       self.cutoff)(dist, angle, trip.idx_kj)
+                       self.cutoff)(dist, angle, trip.idx_kj, rbf_kj=rbf_kj)
         if self.use_torsion:
             phi = torsion_angles(pos, trip)
             tbf = TorsionEmb(self.num_spherical, self.num_radial,
-                             self.cutoff)(dist, angle, phi, trip.idx_kj)
+                             self.cutoff)(dist, angle, phi, trip.idx_kj,
+                                          rbf_kj=rbf_kj)
         else:
             tbf = None
 
@@ -332,6 +380,8 @@ class _SphericalMPNN(nn.Module):
                         self.num_before_skip,
                         self.num_after_skip,
                         dtype=dt,
+                        pallas_triplet=self.pallas_triplet,
+                        pallas_basis_grads=self.pallas_basis_grads,
                         name=f"UpdateE_{li}")(e1, rbf0, sbf, tbf, trip)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,
                         self.out_channels, self.num_output_layers,
