@@ -141,6 +141,7 @@ class Run3D:
             p: float = 100.0, loss: str = "l1", seed: int = 42,
             save_dir: str = "", log_dir: str = "",
             n_node_pad: Optional[int] = None,
+            slot_size: Optional[int] = None,
             quiet: bool = False, profile_dir: str = "",
             debug: bool = False) -> Dict[str, float]:
         """``profile_dir``: write a jax.profiler trace of steps 10-14 of the
@@ -153,13 +154,17 @@ class Run3D:
         from .debug import assert_donation_discipline, debug_mode
         from .profiling import StepProfiler
 
+        # slot_size: slot-aligned batches (one molecule per fixed slot) —
+        # required by the models' block_size fast path, harmless otherwise
         train_loader = MoleculeLoader(train_data, batch_size,
                                       n_node_pad=n_node_pad, shuffle=True,
-                                      seed=seed)
+                                      seed=seed, slot_size=slot_size)
         valid_loader = MoleculeLoader(valid_data, vt_batch_size,
-                                      n_node_pad=n_node_pad)
+                                      n_node_pad=n_node_pad,
+                                      slot_size=slot_size)
         test_loader = MoleculeLoader(test_data, vt_batch_size,
-                                     n_node_pad=n_node_pad)
+                                     n_node_pad=n_node_pad,
+                                     slot_size=slot_size)
 
         schedule = step_lr(lr, lr_decay_factor, lr_decay_step_size,
                            len(train_loader))

@@ -43,9 +43,13 @@ valid = mols[args.n_train:args.n_train + args.n_valid]
 test = mols[args.n_train + args.n_valid:]
 
 if args.model == "spherenet":
+    # the round-2 fast path: blocked slot-aligned radius build + fused
+    # Pallas triplet kernel (basis cotangents kept when training forces)
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
-                      compute_dtype=jnp.bfloat16)
+                      block_size=29, compute_dtype=jnp.bfloat16,
+                      pallas_triplet=True,
+                      pallas_basis_grads=args.forces)
 else:
     model = SchNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                    num_filters=128, num_gaussians=50, max_edges=16384)
@@ -55,5 +59,5 @@ res = Run3D().run(train, valid, test, model, ThreeDEvaluator(),
                   vt_batch_size=args.batch_size, lr=args.lr,
                   lr_decay_factor=0.5, lr_decay_step_size=15,
                   energy_and_force=args.forces, p=100.0,
-                  n_node_pad=args.batch_size * 29)
+                  slot_size=29)
 print({k: v for k, v in res.items() if k != "state"})
