@@ -30,6 +30,8 @@ from .gp import (GPGraph, prepare_gp_graph, slab_layout,
 from .tp import (make_tp_train_step, make_tp_eval_step, tp_param_specs,
                  tp_shard)
 from .pp import make_pp_train_step, pipeline_apply, pp_shard_params
+from .ep import (make_ep_moe, init_moe_params, ep_shard_params,
+                 moe_dense_reference)
 
 __all__ = [
     "make_mesh", "shard_graph_batch", "replicate", "data_parallel_sharding",
@@ -41,4 +43,6 @@ __all__ = [
     "make_gp_engine", "GPLocalGraph", "unslab_layout",
     "make_tp_train_step", "make_tp_eval_step", "tp_param_specs", "tp_shard",
     "make_pp_train_step", "pipeline_apply", "pp_shard_params",
+    "make_ep_moe", "init_moe_params", "ep_shard_params",
+    "moe_dense_reference",
 ]
