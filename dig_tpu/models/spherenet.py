@@ -307,7 +307,9 @@ class _SphericalMPNN(nn.Module):
     # them beats storing them on this HBM-bound step (jax.checkpoint)
     pallas_triplet: bool = False  # fuse the triplet basis-product +
     # reduction in one Pallas kernel (ops/pallas_triplet.py; NK layout +
-    # torsion only — falls back to the XLA chain otherwise)
+    # torsion only — falls back to the XLA chain otherwise). FIRST-ORDER
+    # only: energy+force training differentiates the energy twice, which
+    # a custom_vjp cannot — keep False for energy_and_force runs.
     pallas_basis_grads: bool = True  # see UpdateE.pallas_basis_grads; set
     # False only for energy-only training
 

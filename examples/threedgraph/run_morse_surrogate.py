@@ -44,12 +44,15 @@ test = mols[args.n_train + args.n_valid:]
 
 if args.model == "spherenet":
     # the round-2 fast path: blocked slot-aligned radius build + fused
-    # Pallas triplet kernel (basis cotangents kept when training forces)
+    # Pallas triplet kernel. Force training differentiates the energy
+    # TWICE (d/dparams of dE/dpos); the kernel's custom_vjp is first-order
+    # only, so --forces falls back to the XLA triplet chain (same as the
+    # reference's double-autograd pass, run.py:126).
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
                       block_size=29, compute_dtype=jnp.bfloat16,
-                      pallas_triplet=True,
-                      pallas_basis_grads=args.forces)
+                      pallas_triplet=not args.forces,
+                      pallas_basis_grads=False)
 else:
     model = SchNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                    num_filters=128, num_gaussians=50, max_edges=16384)
