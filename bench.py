@@ -302,6 +302,88 @@ def bench_lsgraph():
     return {"lsgraph_partitioned_train_edges_per_s": round(edges / dt, 1)}
 
 
+def bench_ssl():
+    """BASELINE config 2: GraphCL contrastive pretraining (3-layer GIN,
+    dropN/maskN views, NT-Xent) — graphs/s through the jitted
+    views->encode->project->loss step (dig/sslgraph, reference
+    contrastive.py:143-220 runs views on host per batch; here they are
+    on-device masked transforms)."""
+    import time as _t
+
+    import optax as _optax
+    from dig_tpu.datasets import GraphClsLoader, synthetic_graph_dataset
+    from dig_tpu.ssl import Encoder, GraphCL
+
+    data = synthetic_graph_dataset(512, seed=0)
+    loader = GraphClsLoader(data, 64, shuffle=True)
+    enc = Encoder(feat_dim=8, hidden_dim=128, n_layers=3, gnn="gin")
+    gcl = GraphCL(dim=384, aug_1="dropN", aug_2="maskN", aug_ratio=0.2)
+    gen = gcl.train(enc, loader, _optax.adam(1e-3), epochs=1,
+                    per_epoch_out=True)
+    next(iter(gen))  # compile + 1 epoch warm-up
+    t0 = _t.perf_counter()
+    epochs = 3
+    for res in gcl.train(enc, loader, _optax.adam(1e-3), epochs=epochs,
+                         per_epoch_out=True):
+        last = res
+    dt = (_t.perf_counter() - t0) / epochs
+    del last
+    graphs = (len(data) // 64) * 64
+    return {"graphcl_pretrain_graphs_per_s": round(graphs / dt, 1)}
+
+
+def bench_ggraph_gen():
+    """BASELINE config 4: GraphDF autoregressive generation (jitted
+    reverse-flow steps + host valency resampling; reference hot loop
+    graphflow.py:58-229). mols/s and validity on a model trained briefly
+    on the synthetic SMILES set."""
+    import time as _t
+
+    from dig_tpu.ggraph.environment import check_chemical_validity
+    from dig_tpu.ggraph import (DenseMolLoader, GraphDF,
+                                synthetic_smiles_dataset)
+
+    conf = dict(max_size=9, edge_unroll=4, node_dim=4, bond_dim=4,
+                num_flow_layer=6, num_rgcn_layer=3, nhid=128, nout=128)
+    ds = synthetic_smiles_dataset(repeat=4)
+    ld = DenseMolLoader(ds, 32, shuffle=True)
+    df = GraphDF()
+    df.train_rand_gen(ld, lr=1e-3, wd=0, max_epochs=2,
+                      model_conf_dict=conf, verbose=False)
+    df.run_rand_gen(n_mols=4, temperature=(0.6, 0.6), seed=0)  # warm-up
+    n = 48
+    t0 = _t.perf_counter()
+    mols, _ = df.run_rand_gen(n_mols=n, temperature=(0.6, 0.6), seed=1)
+    dt = _t.perf_counter() - t0
+    valid = sum(1 for m in mols
+                if m is not None and check_chemical_validity(m)) / n
+    return {"graphdf_gen_mols_per_s": round(n / dt, 2),
+            "graphdf_gen_validity": round(valid, 3)}
+
+
+def bench_xgraph():
+    """BASELINE config 5: explainability probe — GNNExplainer edge-mask
+    optimization over a trained GCN on synthetic BA-shapes-style graphs
+    (reference benchmarks/xgraph pipeline); explanations/s."""
+    import time as _t
+
+    from benchmarks.xgraph.run_benchmark import DATASETS, make_explainer
+    from dig_tpu.datasets import GraphClsLoader
+    from dig_tpu.xgraph.model_manager import load_model, train_gnn
+
+    data = DATASETS["ba_2motifs"]()
+    model = load_model("GCN_2l", dim_hidden=32, num_classes=2)
+    params, _acc = train_gnn(model, data, epochs=25)
+    ex = make_explainer("gnnexplainer", model, params)
+    gs = [next(iter(GraphClsLoader([d], 1))) for d in data[:9]]
+    ex(gs[0], num_classes=2, sparsity=0.6)  # compile warm-up
+    t0 = _t.perf_counter()
+    for g in gs[1:]:
+        ex(g, num_classes=2, sparsity=0.6)
+    dt = (_t.perf_counter() - t0) / (len(gs) - 1)
+    return {"gnnexplainer_explanations_per_s": round(1.0 / dt, 3)}
+
+
 def main():
     from dig_tpu.datasets import (BucketedDenseMoleculeLoader,
                                   synthetic_molecules)
@@ -388,7 +470,8 @@ def main():
     roofline = gbps * 1e9 / bytes_per_edge
 
     extras2 = {}
-    for fn in (bench_spherenet, bench_force, bench_lsgraph):
+    for fn in (bench_spherenet, bench_force, bench_lsgraph, bench_ssl,
+               bench_ggraph_gen, bench_xgraph):
         try:
             extras2.update(fn())
         except Exception as e:  # secondary metrics never sink the primary

@@ -37,7 +37,7 @@ from ..nn.init import glorot_orthogonal
 from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
-from ..ops.pallas_triplet import fused_triplet_product
+from ..ops.pallas_triplet import fused_angle_product, fused_triplet_product
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
@@ -187,8 +187,7 @@ class UpdateE(nn.Module):
         x_kj = self.act(D(self.int_emb_size)(x_kj))
 
         num_edges = e1.shape[0]
-        fused = (self.pallas_triplet and self.use_torsion
-                 and trip.nk_nbr is not None)
+        fused = self.pallas_triplet and trip.nk_nbr is not None
         if fused:
             # identity application returns the kernels themselves without a
             # [T]-sized intermediate; module order matches the unfused
@@ -198,15 +197,21 @@ class UpdateE(nn.Module):
                 jnp.eye(sbf.shape[-1], dtype=cdt))
             ws2 = D(self.int_emb_size)(
                 jnp.eye(self.basis_emb_size_angle, dtype=cdt))
-            wt1 = D(self.basis_emb_size_torsion)(
-                jnp.eye(tbf.shape[-1], dtype=cdt))
-            wt2 = D(self.int_emb_size)(
-                jnp.eye(self.basis_emb_size_torsion, dtype=cdt))
+            if self.use_torsion:
+                wt1 = D(self.basis_emb_size_torsion)(
+                    jnp.eye(tbf.shape[-1], dtype=cdt))
+                wt2 = D(self.int_emb_size)(
+                    jnp.eye(self.basis_emb_size_torsion, dtype=cdt))
             xg = expand_kj(x_kj, trip)
             K = trip.nk_nbr.shape[1]
-            x_kj = fused_triplet_product(
-                xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, K,
-                basis_grads=self.pallas_basis_grads)
+            if self.use_torsion:
+                x_kj = fused_triplet_product(
+                    xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, K,
+                    basis_grads=self.pallas_basis_grads)
+            else:
+                x_kj = fused_angle_product(
+                    xg, sbf, ws1 @ ws2, K,
+                    basis_grads=self.pallas_basis_grads)
         else:
             s = D(self.basis_emb_size_angle)(sbf)
             s = D(self.int_emb_size)(s)

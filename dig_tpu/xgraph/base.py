@@ -52,6 +52,16 @@ class ExplainerBase:
 
         self._forward = _forward
 
+        @jax.jit
+        def _forward_many(params, g, edge_weights):
+            # one dispatch for a stack of edge weightings (vmapped over
+            # the weight axis) — eval_related_pred otherwise pays a
+            # host->device round trip per masked variant
+            return jax.vmap(lambda w: model.apply(params, g, w))(
+                edge_weights)
+
+        self._forward_many = _forward_many
+
     def predict_proba(self, g: GraphBatch, edge_weight=None):
         logits = self._forward(self.params, g, edge_weight)
         return jax.nn.softmax(logits, axis=-1)
@@ -74,14 +84,19 @@ class ExplainerBase:
         maskout / zero probabilities (base_explainer.py:259-302)."""
         results = []
         E = g.num_edges
-        ones = jnp.ones(E)
+        row = 0 if node_idx is None else node_idx
+        # one stacked dispatch: [n_masks * 4, E] edge weightings
+        ms = [jax.nn.sigmoid(jnp.asarray(m, jnp.float32))
+              for m in edge_masks]
+        weights = jnp.stack(
+            [jnp.ones(E)] + [w for m in ms for w in (m, 1.0 - m)]
+            + [jnp.zeros(E)])
+        probs = np.asarray(jax.nn.softmax(
+            self._forward_many(self.params, g, weights), axis=-1))
+        ori, zero = probs[0], probs[-1]
         for ex_label, mask in enumerate(edge_masks):
-            m = jax.nn.sigmoid(jnp.asarray(mask, jnp.float32))
-            ori = self.predict_proba(g, ones)
-            masked = self.predict_proba(g, m)
-            maskout = self.predict_proba(g, 1.0 - m)
-            zero = self.predict_proba(g, jnp.zeros(E))
-            row = 0 if node_idx is None else node_idx
+            masked = probs[1 + 2 * ex_label]
+            maskout = probs[2 + 2 * ex_label]
             mask_np = np.asarray(mask)
             finite_frac = float(np.mean(mask_np > 0)) if len(mask_np) else 0.0
             results.append({

@@ -34,6 +34,52 @@ class GNNExplainer(ExplainerBase):
         self.coeffs = dict(_COEFFS)
         if coffs:
             self.coeffs.update(coffs)
+        # ONE jitted optimizer built per explainer (not per explain() call
+        # — that re-traced + recompiled the whole scan for every node,
+        # ~5 s each): row/target are traced args, so one compile per batch
+        # SHAPE serves every node/graph/class.
+        self._run = jax.jit(self._make_run(), static_argnums=(4,))
+
+    def _make_run(self):
+        model, params = self.model, self.params
+        coeffs = self.coeffs
+        opt = optax.adam(self.lr)
+        epochs = self.epochs
+
+        def run(masks0, g, row, target_label, mask_features):
+            def loss_fn(masks):
+                em = jax.nn.sigmoid(masks["edge"])
+                fm = jax.nn.sigmoid(masks["feat"])
+                gx = g.replace_nodes(x=g.nodes["x"] * fm[None, :]) \
+                    if mask_features else g
+                logits = model.apply(params, gx, em)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                loss = -logp[row, target_label]
+                loss += coeffs["edge_size"] * jnp.sum(em)
+                ent = -em * jnp.log(em + 1e-12) - (1 - em) * jnp.log(
+                    1 - em + 1e-12)
+                loss += coeffs["edge_ent"] * jnp.mean(ent)
+                if mask_features:
+                    loss += coeffs["node_feat_size"] * jnp.mean(fm)
+                    fent = -fm * jnp.log(fm + 1e-12) - (1 - fm) * jnp.log(
+                        1 - fm + 1e-12)
+                    loss += coeffs["node_feat_ent"] * jnp.mean(fent)
+                return loss
+
+            opt_state = opt.init(masks0)
+
+            def body(carry, _):
+                masks, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(masks)
+                updates, opt_state = opt.update(grads, opt_state, masks)
+                masks = optax.apply_updates(masks, updates)
+                return (masks, opt_state), loss
+
+            (masks, _), losses = jax.lax.scan(
+                body, (masks0, opt_state), None, length=epochs)
+            return masks, losses
+
+        return run
 
     def explain(self, g: GraphBatch, target_label: Optional[int] = None,
                 node_idx: Optional[int] = None, seed: int = 0,
@@ -41,8 +87,6 @@ class GNNExplainer(ExplainerBase):
         """Returns (edge_mask_logits [E], feat_mask_logits [F])."""
         E = g.num_edges
         F = g.nodes["x"].shape[-1]
-        model, params = self.model, self.params
-        coeffs = self.coeffs
         row = 0 if node_idx is None else node_idx
 
         if target_label is None:
@@ -54,43 +98,9 @@ class GNNExplainer(ExplainerBase):
         # PyG init: N(1, 0.1)-ish scaled by feature size
         e_mask0 = 0.1 * jax.random.normal(k1, (E,))
         f_mask0 = 0.1 * jax.random.normal(k2, (F,))
-        opt = optax.adam(self.lr)
 
-        def loss_fn(masks):
-            em = jax.nn.sigmoid(masks["edge"])
-            fm = jax.nn.sigmoid(masks["feat"])
-            gx = g.replace_nodes(x=g.nodes["x"] * fm[None, :]) \
-                if mask_features else g
-            logits = model.apply(params, gx, em)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            loss = -logp[row, target_label]
-            loss += coeffs["edge_size"] * jnp.sum(em)
-            ent = -em * jnp.log(em + 1e-12) - (1 - em) * jnp.log(
-                1 - em + 1e-12)
-            loss += coeffs["edge_ent"] * jnp.mean(ent)
-            if mask_features:
-                loss += coeffs["node_feat_size"] * jnp.mean(fm)
-                fent = -fm * jnp.log(fm + 1e-12) - (1 - fm) * jnp.log(
-                    1 - fm + 1e-12)
-                loss += coeffs["node_feat_ent"] * jnp.mean(fent)
-            return loss
-
-        @jax.jit
-        def run(masks0):
-            opt_state = opt.init(masks0)
-
-            def body(carry, _):
-                masks, opt_state = carry
-                loss, grads = jax.value_and_grad(loss_fn)(masks)
-                updates, opt_state = opt.update(grads, opt_state, masks)
-                masks = optax.apply_updates(masks, updates)
-                return (masks, opt_state), loss
-
-            (masks, _), losses = jax.lax.scan(
-                body, (masks0, opt_state), None, length=self.epochs)
-            return masks, losses
-
-        masks, losses = run({"edge": e_mask0, "feat": f_mask0})
+        masks, losses = self._run({"edge": e_mask0, "feat": f_mask0}, g,
+                                  row, target_label, mask_features)
         edge_mask = np.asarray(masks["edge"])
         edge_mask = np.where(np.asarray(g.edge_mask), edge_mask, -np.inf)
         return edge_mask, np.asarray(masks["feat"])

@@ -95,3 +95,36 @@ def test_spherenet_pallas_triplet_matches_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_angle_product_matches_oracle():
+    from dig_tpu.ops.pallas_triplet import fused_angle_product
+    xg, sbf, _, ws, _ = _inputs(E=37, K=4, C=16, seed=4)
+    out = fused_angle_product(xg, sbf, ws, 4, 16)
+    ref = fused_triplet_product_ref(xg, sbf, None, ws, None, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    ct = jax.random.normal(jax.random.PRNGKey(5), out.shape)
+    g_f = jax.vjp(lambda *a: fused_angle_product(*a, 4, 16),
+                  xg, sbf, ws)[1](ct)
+    g_r = jax.vjp(lambda *a: fused_triplet_product_ref(a[0], a[1], None,
+                                                       a[2], None, 4),
+                  xg, sbf, ws)[1](ct)
+    for name, a, b in zip(["dxg", "dsbf", "dws"], g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   err_msg=name)
+
+
+def test_dimenetpp_pallas_matches_unfused():
+    from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+    from dig_tpu.models import DimeNetPP
+    mols = synthetic_molecules(6, seed=9, min_atoms=5, max_atoms=12, box=6.0)
+    g = next(iter(MoleculeLoader(mols, 6, slot_size=12)))
+    kw = dict(cutoff=5.0, num_layers=2, hidden_channels=32,
+              num_spherical=2, num_radial=4, nk_degree=8, block_size=12)
+    m0 = DimeNetPP(**kw)
+    m1 = DimeNetPP(**kw, pallas_triplet=True)
+    params = m0.init(jax.random.PRNGKey(0), g)
+    e0 = m0.apply(params, g)
+    e1 = m1.apply(params, g)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=1e-4,
+                               atol=1e-5)
