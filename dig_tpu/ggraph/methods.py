@@ -171,14 +171,112 @@ class GraphDF(Generator):
             params["params"]["edge_base_log_probs"])
         rng = np.random.default_rng(seed)
         mols, pure_valids = [], []
-        for _ in range(n_mols):
-            m, pure = self._generate_one(
+        # molecules generate in LOCKSTEP batches: every molecule is at the
+        # same (atom i, candidate edge j) step, so one batched reverse-flow
+        # dispatch serves the whole batch — the per-molecule host loop paid
+        # one host->device round trip per flow step (the reference is
+        # single-molecule eager too, graphflow.py:58-229)
+        B = min(64, n_mols)
+        done = 0
+        while done < n_mols:
+            b = min(B, n_mols - done)
+            ms, pures = self._generate_batch(
                 params, rev_node, rev_edge, node_logits, edge_logits, rng,
-                N, U, node_dim, bond_dim, list(atomic_num_list),
+                b, N, U, node_dim, bond_dim, list(atomic_num_list),
                 temperature, min_atoms)
-            mols.append(m)
-            pure_valids.append(pure)
+            mols.extend(ms)
+            pure_valids.extend(pures)
+            done += b
         return mols, pure_valids
+
+    def _generate_batch(self, params, rev_node, rev_edge, node_logits,
+                        edge_logits, rng, B, N, U, node_dim, bond_dim,
+                        atom_list, temperature, min_atoms):
+        """Lockstep batched sampling: the flow reverse steps run once per
+        (i, j, resample-round) for ALL B molecules; the valency check /
+        backtracking stays per-molecule on host (chem kernel)."""
+        x = np.zeros((B, N, node_dim), np.float32)
+        adj = np.zeros((B, bond_dim, N, N), np.float32)
+        mols = [Mol() for _ in range(B)]
+        backup = [None] * B
+        total_resample = np.zeros(B, np.int64)
+        alive = np.ones(B, bool)
+        edge_idx = 0
+        for i in range(N):
+            if not alive.any():
+                break
+            p = _np_softmax(node_logits[i] * temperature[0])
+            latent = np.zeros((B, node_dim), np.float32)
+            choice = rng.choice(node_dim, size=B, p=p)
+            latent[np.arange(B), choice] = 1.0
+            out = np.asarray(rev_node(params, jnp.asarray(x),
+                                      jnp.asarray(adj),
+                                      jnp.asarray(latent)))
+            fid = np.argmax(out, axis=1)
+            for b in range(B):
+                if alive[b]:
+                    x[b, i, fid[b]] = 1.0
+                    adj[b, :, i, i] = 1.0
+                    mols[b].add_atom(atom_list[fid[b]])
+            is_connect = np.full(B, i == 0)
+            edge_total = i if i < U else U
+            start = max(i - U, 0)
+            for j in range(edge_total):
+                edge_dis = np.tile(edge_logits[edge_idx], (B, 1))
+                resolved = ~alive.copy()
+                n_invalid = np.zeros(B, np.int64)
+                resample = np.zeros(B, np.int64)
+                while not resolved.all():
+                    give_up = (n_invalid >= 3) | (resample > 50)
+                    latent = np.zeros((B, bond_dim), np.float32)
+                    lid = np.zeros(B, np.int64)
+                    for b in range(B):
+                        if resolved[b] or give_up[b]:
+                            continue
+                        pe = _np_softmax(edge_dis[b] / temperature[1])
+                        lid[b] = rng.choice(bond_dim, p=pe)
+                        latent[b, lid[b]] = 1.0
+                    ei = jnp.broadcast_to(
+                        jnp.asarray([[j + start, i]], jnp.int32), (B, 2))
+                    out = np.asarray(rev_edge(params, jnp.asarray(x),
+                                              jnp.asarray(adj),
+                                              jnp.asarray(latent), ei))
+                    eid = np.argmax(out, axis=1)
+                    for b in range(B):
+                        if resolved[b]:
+                            continue
+                        e = bond_dim - 1 if give_up[b] else int(eid[b])
+                        adj[b, e, i, j + start] = 1.0
+                        adj[b, e, j + start, i] = 1.0
+                        if e == bond_dim - 1:
+                            resolved[b] = True
+                            continue
+                        mols[b].add_bond(i, j + start, float(e + 1))
+                        if check_valency(mols[b]):
+                            is_connect[b] = True
+                            resolved[b] = True
+                            continue
+                        mols[b].remove_bond(i, j + start)
+                        adj[b, e, i, j + start] = 0.0
+                        adj[b, e, j + start, i] = 0.0
+                        edge_dis[b, lid[b]] = -np.inf
+                        n_invalid[b] += 1
+                        total_resample[b] += 1
+                        resample[b] += 1
+                edge_idx += 1
+            for b in range(B):
+                if not alive[b]:
+                    continue
+                if is_connect[b]:
+                    backup[b] = mols[b].copy()
+                else:
+                    mols[b] = (backup[b] if backup[b] is not None
+                               else mols[b])
+                    alive[b] = False
+        finals = [backup[b] if backup[b] is not None else mols[b]
+                  for b in range(B)]
+        return finals, [1 if total_resample[b] == 0 else 0
+                        for b in range(B)]
 
     def _generate_one(self, params, rev_node, rev_edge, node_logits,
                       edge_logits, rng, N, U, node_dim, bond_dim,
@@ -486,18 +584,101 @@ class GraphAF(GraphDF):
 
         rng = np.random.default_rng(seed)
         mols, pure_valids = [], []
-        for _ in range(n_mols):
-            # Gaussian latents in place of categorical ones
-            node_logits = np.zeros((N, node_dim), np.float32)
-            edge_logits = np.zeros((model.masks.num_edge_steps
-                                    if hasattr(model, "masks") else 0,
-                                    bond_dim), np.float32)
-            m, pure = self._generate_one_gauss(
-                params, rev_node, rev_edge, rng, N, U, node_dim, bond_dim,
-                list(atomic_num_list), temp, min_atoms)
-            mols.append(m)
-            pure_valids.append(pure)
+        # lockstep batches, same scheme as GraphDF._generate_batch
+        B = min(64, n_mols)
+        done = 0
+        while done < n_mols:
+            b = min(B, n_mols - done)
+            ms, pures = self._generate_batch_gauss(
+                params, rev_node, rev_edge, rng, b, N, U, node_dim,
+                bond_dim, list(atomic_num_list), temp, min_atoms)
+            mols.extend(ms)
+            pure_valids.extend(pures)
+            done += b
         return mols, pure_valids
+
+    def _generate_batch_gauss(self, params, rev_node, rev_edge, rng, B, N,
+                              U, node_dim, bond_dim, atom_list, temperature,
+                              min_atoms):
+        """Lockstep batched Gaussian-latent sampling (continuous flow):
+        one batched reverse dispatch per (i, j, resample-round)."""
+        x = np.zeros((B, N, node_dim), np.float32)
+        adj = np.zeros((B, bond_dim, N, N), np.float32)
+        mols = [Mol() for _ in range(B)]
+        backup = [None] * B
+        total_resample = np.zeros(B, np.int64)
+        alive = np.ones(B, bool)
+        for i in range(N):
+            if not alive.any():
+                break
+            latent = rng.normal(0, temperature[0],
+                                (B, node_dim)).astype(np.float32)
+            out = np.asarray(rev_node(params, jnp.asarray(x),
+                                      jnp.asarray(adj),
+                                      jnp.asarray(latent)))
+            fid = np.argmax(out, axis=1)
+            for b in range(B):
+                if alive[b]:
+                    x[b, i, fid[b]] = 1.0
+                    adj[b, :, i, i] = 1.0
+                    mols[b].add_atom(atom_list[fid[b]])
+            is_connect = np.full(B, i == 0)
+            edge_total = i if i < U else U
+            start = max(i - U, 0)
+            for j in range(edge_total):
+                resolved = ~alive.copy()
+                invalid = [set() for _ in range(B)]
+                resample = np.zeros(B, np.int64)
+                while not resolved.all():
+                    give_up = np.array(
+                        [len(invalid[b]) >= 3 or resample[b] > 50
+                         for b in range(B)])
+                    latent = rng.normal(0, temperature[1],
+                                        (B, bond_dim)).astype(np.float32)
+                    ei = jnp.broadcast_to(
+                        jnp.asarray([[j + start, i]], jnp.int32), (B, 2))
+                    out = np.asarray(rev_edge(params, jnp.asarray(x),
+                                              jnp.asarray(adj),
+                                              jnp.asarray(latent), ei))
+                    for b in range(B):
+                        if resolved[b]:
+                            continue
+                        if give_up[b]:
+                            e = bond_dim - 1
+                        else:
+                            row = out[b].copy()
+                            for bad in invalid[b]:
+                                row[bad] = -np.inf
+                            e = int(np.argmax(row))
+                        adj[b, e, i, j + start] = 1.0
+                        adj[b, e, j + start, i] = 1.0
+                        if e == bond_dim - 1:
+                            resolved[b] = True
+                            continue
+                        mols[b].add_bond(i, j + start, float(e + 1))
+                        if check_valency(mols[b]):
+                            is_connect[b] = True
+                            resolved[b] = True
+                            continue
+                        mols[b].remove_bond(i, j + start)
+                        adj[b, e, i, j + start] = 0.0
+                        adj[b, e, j + start, i] = 0.0
+                        invalid[b].add(e)
+                        total_resample[b] += 1
+                        resample[b] += 1
+            for b in range(B):
+                if not alive[b]:
+                    continue
+                if is_connect[b]:
+                    backup[b] = mols[b].copy()
+                else:
+                    mols[b] = (backup[b] if backup[b] is not None
+                               else mols[b])
+                    alive[b] = False
+        finals = [backup[b] if backup[b] is not None else mols[b]
+                  for b in range(B)]
+        return finals, [1 if total_resample[b] == 0 else 0
+                        for b in range(B)]
 
     def _generate_one_gauss(self, params, rev_node, rev_edge, rng, N, U,
                             node_dim, bond_dim, atom_list, temperature,
