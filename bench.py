@@ -253,13 +253,27 @@ def bench_lsgraph():
     from dig_tpu.lsgraph.loader import SubgraphLoader, metis_permute
     from dig_tpu.lsgraph.models import ScalableGNN
 
-    data = synthetic_large_graph(20000, seed=0, avg_deg=16)
+    data = synthetic_large_graph(60000, seed=0, avg_deg=16)
     s, r, x, y = data["senders"], data["receivers"], data["x"], data["y"]
     N = len(y)
     perm, ptr, _ = metis_permute(s, r, N, 16, seed=0)
     loader = SubgraphLoader(s, r, N, ptr, perm, batch_parts=4)
-    model = ScalableGNN("gcn", N, x.shape[1], 128, 8, 3, segment_eb=2048)
     subs = list(loader)
+    # size the CSR kernel's edge window from the data: densest 32-row
+    # block + 128 alignment slack (see pallas_segment docstring)
+    br = 64
+    need = 0
+    for sub in subs:
+        # BOTH directions: forward aggregates by receiver, the custom VJP
+        # by sender — the window must cover the densest block of either
+        for rp in (_np.asarray(sub.rowptr), _np.asarray(sub.rowptr_rev)):
+            blocks = -(-(len(rp) - 1) // br)
+            for k in range(blocks):
+                lo, hi = rp[k * br], rp[min((k + 1) * br, len(rp) - 1)]
+                need = max(need, int(hi - lo))
+    eb = -(-(need + 128) // 128) * 128
+    model = ScalableGNN("gcn", N, x.shape[1], 128, 8, 3, segment_eb=eb,
+                        segment_br=br)
     xg = jnp.asarray(x)
     yg = jnp.asarray(y)
     params = model.init(jax.random.PRNGKey(0), xg, subs[0])

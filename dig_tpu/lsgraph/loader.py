@@ -32,6 +32,16 @@ class SubData:
     node_mask: np.ndarray    # [N_pad]
     batch_size: int          # in-batch node count (static metadata)
     in_batch_mask: np.ndarray  # [N_pad] True for real in-batch rows
+    rowptr: np.ndarray       # [N_pad + 1] CSR row pointer (receivers are
+    # rowptr-expanded, so this is exact; rows >= batch_size repeat E) —
+    # precomputed so the Pallas CSR aggregation never runs a device-side
+    # searchsorted (it was 21% of the partitioned train epoch)
+    # reverse-CSR tables: edge permutation sorting by SENDER + the sender
+    # rowptr — lets the aggregation's adjoint ride the same Pallas kernel
+    # instead of an unsorted XLA scatter-add (ops/segment.spmm_bidir_csr)
+    rev_perm: np.ndarray         # [E_pad]
+    send_ids_sorted: np.ndarray  # [E_pad] senders[rev_perm], -1 padding
+    rowptr_rev: np.ndarray       # [N_pad + 1]
 
 
 import jax as _jax  # noqa: E402
@@ -39,7 +49,8 @@ import jax as _jax  # noqa: E402
 _jax.tree_util.register_dataclass(
     SubData,
     data_fields=["senders", "receivers", "edge_mask", "n_id", "node_mask",
-                 "in_batch_mask"],
+                 "in_batch_mask", "rowptr", "rev_perm", "send_ids_sorted",
+                 "rowptr_rev"],
     meta_fields=["batch_size"],
 )
 
@@ -136,9 +147,22 @@ class SubgraphLoader:
             nm[:n] = True
             ibm = np.zeros(n_pad, bool)
             ibm[:B] = True
+            rp = np.full(n_pad + 1, E, np.int32)
+            rp[:len(rowptr)] = np.asarray(rowptr, np.int32)
+            # reverse CSR: sort real edges by sender, padding edges last
+            order = np.argsort(senders[:E], kind="stable")
+            rev_perm = np.concatenate(
+                [order, np.arange(E, e_pad)]).astype(np.int32)
+            sss = np.full(e_pad, -1, np.int32)
+            sss[:E] = senders[:E][order]
+            counts = np.bincount(senders[:E], minlength=n_pad)
+            rpr = np.zeros(n_pad + 1, np.int32)
+            rpr[1:] = np.cumsum(counts).astype(np.int32)
             batches.append(SubData(senders=senders, receivers=receivers,
                                    edge_mask=em, n_id=nid, node_mask=nm,
-                                   batch_size=B, in_batch_mask=ibm))
+                                   batch_size=B, in_batch_mask=ibm,
+                                   rowptr=rp, rev_perm=rev_perm,
+                                   send_ids_sorted=sss, rowptr_rev=rpr))
         return batches
 
     def _relabel_np(self, idx: np.ndarray):

@@ -22,11 +22,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import segment_max, segment_mean, segment_min, segment_sum
-from ..ops.segment import segment_sum_sorted
+from ..ops.segment import segment_sum_sorted, spmm_bidir_csr
+from ..ops.pallas_segment import _on_tpu
 from .history import FeatureMomentum, History
 from .loader import EvalSubgraphLoader, SubData
 
 xavier = jax.nn.initializers.glorot_uniform()
+
+
+def _sub_csr(sub):
+    # CSR tables for dig_tpu.ops.segment.spmm_bidir_csr
+    return (jnp.asarray(sub.rowptr), jnp.asarray(sub.rev_perm),
+            jnp.asarray(sub.send_ids_sorted),
+            jnp.asarray(sub.rowptr_rev))
 
 
 def _sub_gcn_norm(senders, receivers, edge_mask, num_rows):
@@ -43,13 +51,20 @@ class _GCNLayer(nn.Module):
     out_dim: int
     segment_eb: int = 0  # >0: Pallas sorted-CSR aggregation (SubData
     # receivers are CSR-sorted: loader.py builds them by rowptr expansion)
+    segment_br: int = 64  # kernel row-block (64 measured best on v5e)
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_mask):
+    def __call__(self, x, senders, receivers, edge_mask, csr=None):
         h = nn.Dense(self.out_dim, kernel_init=xavier)(x)
         N = x.shape[0]
         coef, self_coef = _sub_gcn_norm(senders, receivers, edge_mask, N)
-        if self.segment_eb > 0:
+        if self.segment_eb > 0 and csr is not None and _on_tpu():
+            rowptr, rev_perm, sss, rowptr_rev = csr
+            recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
+            agg = spmm_bidir_csr(h, coef, senders, recv_ids, rowptr,
+                                 rev_perm, sss, rowptr_rev, N,
+                                 self.segment_eb, self.segment_br)
+        elif self.segment_eb > 0:
             agg = segment_sum_sorted(h[senders] * coef[:, None], receivers,
                                      N, mask=edge_mask,
                                      max_edges_per_block=self.segment_eb)
@@ -66,12 +81,19 @@ class _GCN2Layer(nn.Module):
     alpha: float = 0.1
     beta: float = 0.5
     segment_eb: int = 0
+    segment_br: int = 64
 
     @nn.compact
-    def __call__(self, x, x0, senders, receivers, edge_mask):
+    def __call__(self, x, x0, senders, receivers, edge_mask, csr=None):
         N = x.shape[0]
         coef, self_coef = _sub_gcn_norm(senders, receivers, edge_mask, N)
-        if self.segment_eb > 0:
+        if self.segment_eb > 0 and csr is not None and _on_tpu():
+            rowptr, rev_perm, sss, rowptr_rev = csr
+            recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
+            agg = spmm_bidir_csr(x, coef, senders, recv_ids, rowptr,
+                                 rev_perm, sss, rowptr_rev, N,
+                                 self.segment_eb, self.segment_br)
+        elif self.segment_eb > 0:
             agg = segment_sum_sorted(x[senders] * coef[:, None], receivers,
                                      N, mask=edge_mask,
                                      max_edges_per_block=self.segment_eb)
@@ -122,10 +144,11 @@ class _ScalableBody(nn.Module):
     dropout: float = 0.0
     avg_deg_log: float = 1.0
     segment_eb: int = 0       # >0: Pallas sorted-CSR aggregation
+    segment_br: int = 64
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, in_batch_mask,
-                 hist_values: Sequence[jnp.ndarray]):
+                 hist_values: Sequence[jnp.ndarray], csr=None):
         push_vals = []
         x0 = None
         if self.arch == "gcn2":
@@ -137,12 +160,14 @@ class _ScalableBody(nn.Module):
             if self.arch == "gcn":
                 dim = self.out_dim if last and self.arch == "gcn" else \
                     self.hidden
-                h = _GCNLayer(dim, segment_eb=self.segment_eb)(
-                    x, senders, receivers, edge_mask)
+                h = _GCNLayer(dim, segment_eb=self.segment_eb,
+                              segment_br=self.segment_br)(
+                    x, senders, receivers, edge_mask, csr)
             elif self.arch == "gcn2":
                 h = _GCN2Layer(self.hidden,
-                               segment_eb=self.segment_eb)(
-                    x, x0, senders, receivers, edge_mask)
+                               segment_eb=self.segment_eb,
+                               segment_br=self.segment_br)(
+                    x, x0, senders, receivers, edge_mask, csr)
             else:
                 h = _PNALayer(self.hidden, self.avg_deg_log)(
                     x, senders, receivers, edge_mask)
@@ -167,11 +192,12 @@ class ScalableGNN:
     def __init__(self, arch: str, num_nodes: int, in_dim: int, hidden: int,
                  out_dim: int, num_layers: int, use_momentum: bool = False,
                  gamma: float = 0.9, avg_deg: float = 10.0,
-                 segment_eb: int = 0):
+                 segment_eb: int = 0, segment_br: int = 64):
         self.body = _ScalableBody(arch=arch, hidden=hidden, out_dim=out_dim,
                                   num_layers=num_layers,
                                   avg_deg_log=float(np.log(avg_deg + 1.0)),
-                                  segment_eb=segment_eb)
+                                  segment_eb=segment_eb,
+                                  segment_br=segment_br)
         self.num_layers = num_layers
         self.num_nodes = num_nodes
         self.hidden = hidden
@@ -186,7 +212,8 @@ class ScalableGNN:
         return jax.jit(self.body.init)(
             key, xg[jnp.asarray(sub.n_id)], jnp.asarray(sub.senders),
             jnp.asarray(sub.receivers), jnp.asarray(sub.edge_mask),
-            jnp.asarray(sub.in_batch_mask), hv)
+            jnp.asarray(sub.in_batch_mask), hv,
+            _sub_csr(sub))
 
     def forward(self, params, histories, x_global, sub: SubData):
         """One minibatch forward. Returns (out, new_histories); ``out``
@@ -196,7 +223,8 @@ class ScalableGNN:
         out, push_vals = self.body.apply(
             params, x_global[n_id], jnp.asarray(sub.senders),
             jnp.asarray(sub.receivers), jnp.asarray(sub.edge_mask),
-            jnp.asarray(sub.in_batch_mask), hv)
+            jnp.asarray(sub.in_batch_mask), hv,
+            _sub_csr(sub))
         ibm = jnp.asarray(sub.in_batch_mask)
         new_hist = []
         for h, v in zip(histories, push_vals):

@@ -18,6 +18,7 @@ subgraphs are CSR); the functions here are the general entry points.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -47,11 +48,15 @@ def segment_sum(data: Array, segment_ids: Array, num_segments: int,
 def segment_sum_sorted(data: Array, segment_ids: Array, num_segments: int,
                        mask: Optional[Array] = None,
                        max_edges_per_block: int = 1024,
-                       block_rows: int = 32) -> Array:
+                       block_rows: int = 32,
+                       rowptr: Optional[Array] = None) -> Array:
     """Segment sum for *sorted* ids (trailing padding allowed) through the
     Pallas CSR kernel on TPU; identical to :func:`segment_sum` elsewhere.
 
-    The CSR rowptr is recovered with a searchsorted over the (masked) ids.
+    Pass ``rowptr`` ([num_segments + 1]) when the CSR structure is known
+    up front (lsgraph SubData precomputes it host-side) — otherwise it is
+    recovered with a device searchsorted over the (masked) ids, which is
+    an O(N log E) while-loop and was 21% of the partitioned train epoch.
     ``max_edges_per_block`` must cover the densest ``block_rows`` rows plus
     up to 127 alignment slack — size it from data statistics and audit with
     ``pallas_segment.csr_block_overflow``.
@@ -67,8 +72,9 @@ def segment_sum_sorted(data: Array, segment_ids: Array, num_segments: int,
         ids = jnp.where(mask, ids, -1)
     else:
         ids_sort = ids
-    rowptr = jnp.searchsorted(ids_sort, jnp.arange(num_segments + 1),
-                              side="left").astype(jnp.int32)
+    if rowptr is None:
+        rowptr = jnp.searchsorted(ids_sort, jnp.arange(num_segments + 1),
+                                  side="left").astype(jnp.int32)
     return segment_sum_sorted_csr(data, ids, rowptr, num_segments,
                                   block_rows, max_edges_per_block
                                   ).astype(data.dtype)
@@ -135,3 +141,58 @@ def segment_argmin(data: Array, segment_ids: Array, num_segments: int,
     idx = jnp.where(d <= m[segment_ids], jnp.arange(E), E)
     out = jax.ops.segment_min(idx, segment_ids, num_segments=num_segments)
     return jnp.where(out >= E, 0, out).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def spmm_bidir_csr(h, coef, senders, recv_ids, rowptr,
+                   rev_perm, send_ids_sorted, rowptr_rev,
+                   num_rows: int, max_edges_per_block: int = 1024,
+                   block_rows: int = 32):
+    """Normalized-adjacency SpMM with CSR kernels in BOTH directions:
+    ``out[r] = sum_e coef[e] * h[senders[e]]`` (receivers CSR-sorted).
+
+    The plain formulation's adjoint wrt ``h`` is an unsorted scatter-add —
+    XLA lowers it to a serialized loop (23% of the lsgraph train epoch).
+    Here the caller supplies the *reverse* CSR tables (precomputed
+    host-side in SubData: the edge permutation that sorts by sender and
+    the sender rowptr), so the backward runs the same Pallas row-blocked
+    kernel on the permuted cotangent rows.
+
+    Args: h [N, F]; coef [E] (treated as CONSTANT — GCN degree norms;
+    wrapped in stop_gradient); senders [E]; recv_ids [E] receiver ids,
+    -1 on padding rows; rowptr [N+1]; rev_perm [E] edge permutation
+    sorting by sender (padding edges last); send_ids_sorted [E] =
+    senders[rev_perm] with -1 on padding; rowptr_rev [N+1].
+    """
+    coef = jax.lax.stop_gradient(coef)
+    from .pallas_segment import segment_sum_sorted_csr
+    msg = h[senders] * coef[:, None]
+    return segment_sum_sorted_csr(msg, recv_ids, rowptr, num_rows,
+                                  block_rows, max_edges_per_block
+                                  ).astype(h.dtype)
+
+
+def _spmm_bidir_fwd(h, coef, senders, recv_ids, rowptr, rev_perm,
+                    send_ids_sorted, rowptr_rev, num_rows,
+                    max_edges_per_block, block_rows):
+    out = spmm_bidir_csr(h, coef, senders, recv_ids, rowptr, rev_perm,
+                         send_ids_sorted, rowptr_rev, num_rows,
+                         max_edges_per_block, block_rows)
+    return out, (coef, recv_ids, rev_perm, send_ids_sorted, rowptr_rev)
+
+
+def _spmm_bidir_bwd(num_rows, max_edges_per_block, block_rows, res, ct):
+    from .pallas_segment import segment_sum_sorted_csr
+    coef, recv_ids, rev_perm, send_ids_sorted, rowptr_rev = res
+    # d_msg[e] = ct[recv[e]] * coef[e]; recv_ids are sorted so this gather
+    # is near-contiguous. Padding rows (recv -1) contribute zero.
+    recv_safe = jnp.maximum(recv_ids, 0)
+    d_msg = ct[recv_safe] * coef[:, None]
+    d_msg = jnp.where((recv_ids >= 0)[:, None], d_msg, 0)
+    d_h = segment_sum_sorted_csr(d_msg[rev_perm], send_ids_sorted,
+                                 rowptr_rev, num_rows, block_rows,
+                                 max_edges_per_block).astype(ct.dtype)
+    return (d_h, None, None, None, None, None, None, None)
+
+
+spmm_bidir_csr.defvjp(_spmm_bidir_fwd, _spmm_bidir_bwd)
