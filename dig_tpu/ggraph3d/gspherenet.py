@@ -294,6 +294,28 @@ def place_atom(pos_f, pos_c1, pos_c2, d, theta, phi):
     return pos_f + d * dvec
 
 
+def _place_atom_jnp(pos_f, pos_c1, pos_c2, d, theta, phi, eps=1e-9):
+    """Batched branchless :func:`place_atom` ([B, 3] inputs, [B] scalars) —
+    degenerate normals fall back to cross products with the x then y axes
+    via where-chains so the whole placement traces under jit/scan."""
+    b1 = pos_c1 - pos_f
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True), eps)
+    b2 = pos_c2 - pos_c1
+    n = jnp.cross(b1, b2)
+    small = jnp.linalg.norm(n, axis=-1, keepdims=True) < 1e-6
+    n_x = jnp.cross(b1, jnp.array([1.0, 0.0, 0.0]))
+    n_y = jnp.cross(b1, jnp.array([0.0, 1.0, 0.0]))
+    alt = jnp.where(
+        jnp.linalg.norm(n_x, axis=-1, keepdims=True) < 1e-6, n_y, n_x)
+    n = jnp.where(small, alt, n)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+    m = jnp.cross(n, b1)
+    ct, st = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+    cp, sp = jnp.cos(phi)[:, None], jnp.sin(phi)[:, None]
+    dvec = ct * b1 + st * (cp * m + sp * n)
+    return pos_f + d[:, None] * dvec
+
+
 class GSphereNet:
     """Method driver (reference gspherenet.py:8-128)."""
 
@@ -343,102 +365,149 @@ class GSphereNet:
                  num_gen: int = 10, temperature=(1.0, 1.0, 1.0, 1.0),
                  min_atoms: int = 2, max_atoms: int = 20,
                  focus_th: float = 0.5, seed: int = 0,
-                 n_node_pad: Optional[int] = None):
-        """Sequential generation, one molecule at a time (host loop +
-        jitted step features; reference sphgen.py:85-203)."""
-        from ..graph import batch_np
+                 n_node_pad: Optional[int] = None,
+                 batch_size: int = 32):
+        """Fully ON-DEVICE lockstep generation: the whole autoregressive
+        loop (focus sampling, reference-atom selection, all four reverse
+        flows, local-frame placement, stop test) is one jitted
+        ``lax.scan`` over atom steps — a single dispatch generates the
+        whole batch. The reference loops eagerly per atom per molecule
+        (sphgen.py:85-203); unlike 2D generation there is NO host-side
+        valency feedback here, so nothing needs to leave the device.
+        Latents/sampling use jax.random from ``seed``."""
+        from ..graph import GraphBatch
         assert self.params is not None
         model, params = self.model, self.params
         T = len(type_to_atomic_number)
         pad = n_node_pad or max_atoms
+        L = max_atoms - 1
 
-        @jax.jit
-        def stepf(params, g, focus, c1, c2, new_type):
-            return model.apply(params, g, focus, c1, c2, new_type,
-                               method="step_features")
+        def make_graph(z, pos3, n_atoms, B):
+            N = B * pad
+            nm = (jnp.arange(pad)[None, :] < n_atoms[:, None])
+            return GraphBatch(
+                nodes={"z": z.reshape(N), "pos": pos3.reshape(N, 3)},
+                edges={},
+                senders=jnp.zeros(1, jnp.int32),
+                receivers=jnp.zeros(1, jnp.int32),
+                globals={},
+                node_graph=jnp.repeat(jnp.arange(B, dtype=jnp.int32), pad),
+                node_mask=nm.reshape(N),
+                edge_mask=jnp.zeros(1, bool),
+                graph_mask=jnp.ones(B, bool),
+                n_node=n_atoms.astype(jnp.int32),
+                n_edge=jnp.zeros(B, jnp.int32))
 
-        @jax.jit
-        def rev(params, nt_feat, d_feat, a_feat, t_feat, lz, ld, la, lt):
-            zn = model.apply(params, nt_feat, lz, method="reverse_node")
-            dd = model.apply(params, d_feat, ld, method="reverse_dist")
-            aa = model.apply(params, a_feat, la, method="reverse_angle")
-            tt = model.apply(params, t_feat, lt, method="reverse_torsion")
-            return zn, dd, aa, tt
+        def run_batch(B, params, key):
+            ks = jax.random.split(key, 5)
+            lzs = temperature[0] * jax.random.normal(ks[0], (L, B, T))
+            lds = temperature[1] * jax.random.normal(ks[1], (L, B, 1))
+            las = temperature[2] * jax.random.normal(ks[2], (L, B, 1))
+            lts = temperature[3] * jax.random.normal(ks[3], (L, B, 1))
+            gmb = jax.random.gumbel(ks[4], (L, B, pad))
+            first = jax.random.randint(jax.random.fold_in(key, 7), (B,),
+                                       0, T)
+            bb = jnp.arange(B)
+            base = bb * pad
 
-        rng = np.random.default_rng(seed)
+            def sf(g, f, c1, c2, nt):
+                return model.apply(params, g, f, c1, c2, nt,
+                                   method="step_features")
+
+            def body(carry, xs):
+                z, pos3, n_atoms, alive = carry
+                i, lz, ld, la, lt, gb = xs
+                g = make_graph(z, pos3, n_atoms, B)
+                zerosB = jnp.zeros(B, jnp.int32)
+                nm = (jnp.arange(pad)[None, :] < n_atoms[:, None])
+
+                fs0, *_ = sf(g, zerosB, zerosB, zerosB, zerosB)
+                sc = jax.nn.sigmoid(fs0).reshape(B, pad)
+                logits = jnp.where(nm, jnp.log(sc + 1e-9), -jnp.inf)
+                f_loc = jnp.argmax(logits + gb, axis=1)    # cat. prop. sc
+
+                slots = jnp.arange(pad)[None, :]
+                pf = pos3[bb, f_loc]
+                d_f = jnp.linalg.norm(pos3 - pf[:, None, :], axis=-1)
+                d_f = jnp.where(nm & (slots != f_loc[:, None]), d_f,
+                                jnp.inf)
+                c1_loc = jnp.argmin(d_f, axis=1)
+                p1 = pos3[bb, c1_loc]
+                d_c1 = jnp.linalg.norm(pos3 - p1[:, None, :], axis=-1)
+                d_c1 = jnp.where(nm & (slots != f_loc[:, None])
+                                 & (slots != c1_loc[:, None]), d_c1,
+                                 jnp.inf)
+                c2_loc = jnp.argmin(d_c1, axis=1)
+                # host-version cases: n==1 -> c1=c2=0; n==2 -> c2=f
+                c1_loc = jnp.where(n_atoms == 1, 0, c1_loc)
+                c2_loc = jnp.where(n_atoms == 1, 0,
+                                   jnp.where(n_atoms == 2, f_loc, c2_loc))
+                fj = (base + f_loc).astype(jnp.int32)
+                c1j = (base + c1_loc).astype(jnp.int32)
+                c2j = (base + c2_loc).astype(jnp.int32)
+
+                _, nt_feat, _, _, _ = sf(g, fj, c1j, c2j, zerosB)
+                zn = model.apply(params, nt_feat, lz, method="reverse_node")
+                new_type = jnp.argmax(zn, axis=-1).astype(jnp.int32)
+                fs, _, d_feat, a_feat, t_feat = sf(g, fj, c1j, c2j,
+                                                   new_type)
+                sc2 = jax.nn.sigmoid(fs).reshape(B, pad)
+                mx = jnp.max(jnp.where(nm, sc2, -jnp.inf), axis=1)
+                stop = (i >= min_atoms) & (mx < focus_th)
+                alive = alive & ~stop
+
+                dd = model.apply(params, d_feat, ld, method="reverse_dist")
+                aa = model.apply(params, a_feat, la, method="reverse_angle")
+                tt = model.apply(params, t_feat, lt,
+                                 method="reverse_torsion")
+                d = jnp.abs(dd[:, 0]) + 0.6
+                theta = jnp.mod(aa[:, 0], jnp.pi)
+                phi = jnp.mod(tt[:, 0], 2 * jnp.pi)
+                pf = pos3[bb, f_loc]
+                p1 = pos3[bb, c1_loc]
+                p2 = pos3[bb, c2_loc]
+                np1 = pf + jnp.stack([d, jnp.zeros_like(d),
+                                      jnp.zeros_like(d)], -1)
+                np2 = _place_atom_jnp(pf, p1,
+                                      p1 + jnp.array([0.0, 1.0, 0.0]), d,
+                                      theta, jnp.zeros_like(phi))
+                np3 = _place_atom_jnp(pf, p1, p2, d, theta, phi)
+                new_pos = jnp.where((n_atoms == 1)[:, None], np1,
+                                    jnp.where((n_atoms == 2)[:, None],
+                                              np2, np3))
+                z = z.at[bb, i].set(jnp.where(alive, new_type, z[:, i]))
+                pos3 = pos3.at[bb, i].set(
+                    jnp.where(alive[:, None], new_pos, pos3[:, i]))
+                n_atoms = n_atoms + alive.astype(jnp.int32)
+                return (z, pos3, n_atoms, alive), None
+
+            z0 = jnp.zeros((B, pad), jnp.int32).at[:, 0].set(first)
+            pos0 = jnp.zeros((B, pad, 3), jnp.float32)
+            carry = (z0, pos0, jnp.ones(B, jnp.int32),
+                     jnp.ones(B, bool))
+            xs = (jnp.arange(1, max_atoms), lzs, lds, las, lts, gmb)
+            (z, pos3, n_atoms, _), _ = jax.lax.scan(body, carry, xs)
+            return z, pos3, n_atoms
+
+        # one compile per static config, cached across generate() calls
+        cfg = (T, pad, max_atoms, min_atoms, float(focus_th),
+               tuple(float(t) for t in temperature))
+        if getattr(self, "_gen_cfg", None) != cfg:
+            self._gen_cfg = cfg
+            self._gen_run = jax.jit(run_batch, static_argnums=(0,))
+        run = self._gen_run
+        key = jax.random.PRNGKey(seed)
         results = []
-        for _ in range(num_gen):
-            types = [int(rng.integers(0, T))]
-            pos = [np.zeros(3)]
-            placed_order = [0]
-            for i in range(1, max_atoms):
-                g = batch_np([{
-                    "nodes": {"z": np.asarray(types, np.int32),
-                              "pos": np.asarray(pos, np.float32)},
-                    "senders": np.zeros(0, np.int32),
-                    "receivers": np.zeros(0, np.int32),
-                    "globals": {},
-                }], pad, 1, num_graphs=1)
-                n_cur = len(types)
-                lz = rng.normal(0, temperature[0], (1, T)).astype(np.float32)
-                ld = rng.normal(0, temperature[1], (1, 1)).astype(np.float32)
-                la = rng.normal(0, temperature[2], (1, 1)).astype(np.float32)
-                lt = rng.normal(0, temperature[3], (1, 1)).astype(np.float32)
-                # focus = argmax of the trained focus scores over the
-                # current canvas (reference sphgen.py:110-130 thresholds
-                # sigmoid scores; sampling proportional to score here)
-                fs0, *_ = stepf(params, g, jnp.asarray([0]),
-                                jnp.asarray([0]), jnp.asarray([0]),
-                                jnp.asarray([0]))
-                fscore0 = np.asarray(jax.nn.sigmoid(fs0))[:n_cur]
-                p_focus = fscore0 / max(fscore0.sum(), 1e-9)
-                f = int(rng.choice(n_cur, p=p_focus))
-                if n_cur == 1:
-                    c1 = c2 = 0
-                else:
-                    dists = [np.linalg.norm(pos[j] - pos[f]) if j != f
-                             else np.inf for j in range(n_cur)]
-                    c1 = int(np.argmin(dists))
-                    d2 = [np.linalg.norm(pos[j] - pos[c1])
-                          if j not in (f, c1) else np.inf
-                          for j in range(n_cur)]
-                    c2 = int(np.argmin(d2)) if n_cur > 2 else f
-                # new type placeholder (needed for conditioning): sample
-                # via reverse flow on the node features first
-                fs, nt_feat, d_feat, a_feat, t_feat = stepf(
-                    params, g, jnp.asarray([f]), jnp.asarray([c1]),
-                    jnp.asarray([c2]), jnp.asarray([0]))
-                zn = np.asarray(model.apply(params, nt_feat,
-                                            jnp.asarray(lz),
-                                            method="reverse_node"))
-                new_type = int(np.argmax(zn[0]))
-                # recondition with the sampled type
-                fs, nt_feat, d_feat, a_feat, t_feat = stepf(
-                    params, g, jnp.asarray([f]), jnp.asarray([c1]),
-                    jnp.asarray([c2]), jnp.asarray([new_type]))
-                # stop when no focusable atom
-                fscore = np.asarray(jax.nn.sigmoid(fs))[:n_cur]
-                if i >= min_atoms and float(fscore.max()) < focus_th:
-                    break
-                _, dd, aa, tt = rev(params, nt_feat, d_feat, a_feat,
-                                    t_feat, jnp.asarray(lz),
-                                    jnp.asarray(ld), jnp.asarray(la),
-                                    jnp.asarray(lt))
-                d = float(np.abs(np.asarray(dd))[0, 0]) + 0.6
-                theta = float(np.asarray(aa)[0, 0]) % np.pi
-                phi = float(np.asarray(tt)[0, 0]) % (2 * np.pi)
-                if n_cur == 1:
-                    new_pos = pos[f] + np.array([d, 0.0, 0.0])
-                elif n_cur == 2:
-                    new_pos = place_atom(pos[f], pos[c1],
-                                         pos[c1] + np.array([0, 1.0, 0]),
-                                         d, theta, 0.0)
-                else:
-                    new_pos = place_atom(pos[f], pos[c1], pos[c2], d,
-                                         theta, phi)
-                types.append(new_type)
-                pos.append(new_pos)
-            results.append({
-                "z": np.array([type_to_atomic_number[t] for t in types]),
-                "pos": np.asarray(pos, np.float32)})
+        done = 0
+        while done < num_gen:
+            B = min(batch_size, num_gen - done)
+            key, k = jax.random.split(key)
+            z, pos3, n_atoms = jax.device_get(run(B, params, k))
+            for b in range(B):
+                n = int(n_atoms[b])
+                results.append({
+                    "z": np.array([type_to_atomic_number[int(t)]
+                                   for t in z[b, :n]]),
+                    "pos": np.asarray(pos3[b, :n], np.float32)})
+            done += B
         return results
