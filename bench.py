@@ -389,7 +389,7 @@ def bench_xgraph():
     model = load_model("GCN_2l", dim_hidden=32, num_classes=2)
     params, _acc = train_gnn(model, data, epochs=25)
     ex = make_explainer("gnnexplainer", model, params)
-    gs = [next(iter(GraphClsLoader([d], 1))) for d in data[:9]]
+    gs = list(GraphClsLoader(data[:9], 1))  # shared pads: one compile
     ex(gs[0], num_classes=2, sparsity=0.6)  # compile warm-up
     t0 = _t.perf_counter()
     for g in gs[1:]:

@@ -60,8 +60,11 @@ def make_explainer(name, model, params):
 def run_one(ex_name, ex, data, num_explain, sparsity):
     col = XCollector()
     t0 = time.perf_counter()
-    for d in data[:num_explain]:
-        g = next(iter(GraphClsLoader([d], 1)))
+    # ONE loader over the whole set: per-graph loaders pad each graph to
+    # its own size, which changes shapes and recompiles every jitted
+    # explainer step per graph (~5 s each)
+    loader = GraphClsLoader(data[:num_explain], 1)
+    for d, g in zip(data[:num_explain], loader):
         label = int(d["y"])
         if ex_name == "gnnexplainer":
             masks, related = ex(g, num_classes=2, sparsity=sparsity)
@@ -111,8 +114,7 @@ def main():
             for ex_name in args.explainers:
                 ex = make_explainer(ex_name, model, params)
                 if ex_name == "pgexplainer":
-                    gs = [next(iter(GraphClsLoader([d], 1)))
-                          for d in data[: args.num_explain]]
+                    gs = list(GraphClsLoader(data[: args.num_explain], 1))
                     ex.train_explanation_network(gs)
                 for sp in args.sparsities:
                     row = {"dataset": ds_name, "model": args.model,
