@@ -61,6 +61,14 @@ class ExplainerBase:
                 edge_weights)
 
         self._forward_many = _forward_many
+        # lazily-built jitted closures (one compile per explainer + batch
+        # shape; a fresh jax.jit per explain() call re-traces every time)
+        self._jit_cache = {}
+
+    def _cached_jit(self, name, build, **jit_kw):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(build(), **jit_kw)
+        return self._jit_cache[name]
 
     def predict_proba(self, g: GraphBatch, edge_weight=None):
         logits = self._forward(self.params, g, edge_weight)

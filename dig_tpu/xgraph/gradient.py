@@ -37,15 +37,20 @@ class GradCAM(ExplainerBase):
                 node_idx: Optional[int] = None) -> np.ndarray:
         model, params = self.model, self.params
         row = 0 if node_idx is None else node_idx
-        logits, acts = model.apply(params, g, None, return_activations=True)
-        last = acts[-1]
 
-        def logit_of_last(a):
-            return _replay(model, params, a, g, row, target_label)
+        def build():
+            def fn(g, row, target_label):
+                _, acts = model.apply(params, g, None,
+                                      return_activations=True)
+                last = acts[-1]
+                grads = jax.grad(lambda a: _replay(
+                    model, params, a, g, row, target_label))(last)
+                alpha = jnp.mean(grads, axis=0)         # [C] channel wts
+                return jax.nn.relu(jnp.sum(last * alpha[None, :], axis=-1))
+            return fn
 
-        grads = jax.grad(logit_of_last)(last)
-        alpha = jnp.mean(grads, axis=0)                 # [C] channel weights
-        node_scores = jax.nn.relu(jnp.sum(last * alpha[None, :], axis=-1))
+        node_scores = self._cached_jit("gradcam", build)(g, row,
+                                                         target_label)
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
         ns = np.asarray(node_scores)
         edge_scores = 0.5 * (ns[s] + ns[r])
@@ -96,13 +101,15 @@ class GNN_GI(ExplainerBase):
         row = 0 if node_idx is None else node_idx
         E = g.num_edges
 
-        def f(ew):
-            logits = model.apply(params, g, ew)
-            return logits[row, target_label]
+        def build():
+            def fn(g, row, target_label):
+                def f(ew):
+                    return model.apply(params, g, ew)[row, target_label]
+                return jax.grad(f)(jnp.ones(E))
+            return fn
 
-        ones = jnp.ones(E)
-        grads = jax.grad(f)(ones)
-        scores = np.asarray(grads * ones)
+        grads = self._cached_jit("gnn_gi", build)(g, row, target_label)
+        scores = np.asarray(grads)
         return np.where(np.asarray(g.edge_mask), scores, -np.inf)
 
 
@@ -117,19 +124,27 @@ class DeepLIFT(ExplainerBase):
                 steps: int = 8) -> np.ndarray:
         model, params = self.model, self.params
         row = 0 if node_idx is None else node_idx
-        x0 = jnp.zeros_like(g.nodes["x"])
-        x1 = g.nodes["x"]
 
-        def f(x):
-            logits = model.apply(params, g.replace_nodes(x=x), None)
-            return logits[row, target_label]
+        def build():
+            def fn(g, row, target_label):
+                x0 = jnp.zeros_like(g.nodes["x"])
+                x1 = g.nodes["x"]
 
-        # integrated-gradients-style average along the path (equivalent to
-        # DeepLIFT-Rescale in piecewise-linear nets)
-        total = jnp.zeros_like(x1)
-        for a in np.linspace(1.0 / steps, 1.0, steps):
-            total = total + jax.grad(f)(x0 + a * (x1 - x0))
-        node_attr = jnp.sum((x1 - x0) * total / steps, axis=-1)
+                def f(x):
+                    logits = model.apply(params, g.replace_nodes(x=x),
+                                         None)
+                    return logits[row, target_label]
+
+                # integrated-gradients-style average along the path
+                # (equals DeepLIFT-Rescale in piecewise-linear nets)
+                total = jnp.zeros_like(x1)
+                for a in np.linspace(1.0 / steps, 1.0, steps):
+                    total = total + jax.grad(f)(x0 + a * (x1 - x0))
+                return jnp.sum((x1 - x0) * total / steps, axis=-1)
+            return fn
+
+        node_attr = self._cached_jit(f"deeplift{steps}", build)(
+            g, row, target_label)
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
         na = np.asarray(node_attr)
         edge_scores = 0.5 * (na[s] + na[r])
@@ -151,16 +166,21 @@ class FlowX(ExplainerBase):
         em = np.asarray(g.edge_mask)
         rng = np.random.default_rng(seed)
 
-        @jax.jit
-        def prob(ew):
+        def _prob_fn(g, ew, row, target_label):
             logits = model.apply(params, g, ew)
             return jax.nn.softmax(logits, -1)[row, target_label]
+
+        _prob = self._cached_jit("flowx_prob", lambda: _prob_fn)
+        _prob_many = self._cached_jit(
+            "flowx_prob_many",
+            lambda: jax.vmap(_prob_fn, in_axes=(None, 0, None, None)))
 
         scores = np.zeros(E)
         counts = np.zeros(E) + 1e-9
         for _ in range(sample_num):
             keep = (rng.random(E) < 0.5) & em
-            base = float(prob(jnp.asarray(keep, jnp.float32)))
+            base = float(_prob(g, jnp.asarray(keep, jnp.float32), row,
+                               target_label))
             flip = keep.copy()
             # flip a random subset of edges one at a time in expectation:
             # evaluate with each edge toggled via batched vmap
@@ -168,7 +188,8 @@ class FlowX(ExplainerBase):
             idxs = np.flatnonzero(em)
             for k, e in enumerate(idxs):
                 toggled[k, e] = ~toggled[k, e]
-            probs = jax.vmap(prob)(jnp.asarray(toggled, jnp.float32))
+            probs = _prob_many(g, jnp.asarray(toggled, jnp.float32), row,
+                               target_label)
             probs = np.asarray(probs)
             for k, e in enumerate(idxs):
                 sign = 1.0 if not keep[e] else -1.0

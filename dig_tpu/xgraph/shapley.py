@@ -35,15 +35,21 @@ _BUILDERS = {"zero_filling": graph_build_zero_filling,
 
 
 def make_value_func(model, params, target_class: int,
-                    node_idx: Optional[int] = None):
+                    node_idx: Optional[int] = None, probs_fn=None):
     """GnnNetsGC2valueFunc / GnnNetsNC2valueFunc (shapley.py:12-41):
-    coalition mask [N] -> prob of target class."""
-    @jax.jit
+    coalition mask [N] -> prob of target class.
+
+    ``probs_fn``: optional pre-jitted (params, g) -> probs — pass the
+    explainer's cached forward so a fresh jit (and a full re-trace per
+    explanation) is avoided."""
+    if probs_fn is None:
+        @jax.jit
+        def probs_fn(params, g):
+            return jax.nn.softmax(model.apply(params, g, None), axis=-1)
+
     def vf(g: GraphBatch):
-        logits = model.apply(params, g, None)
-        probs = jax.nn.softmax(logits, axis=-1)
         row = 0 if node_idx is None else node_idx
-        return probs[row, target_class]
+        return probs_fn(params, g)[row, target_class]
 
     return vf
 

@@ -9,6 +9,8 @@ of at most max_nodes plus related predictions.
 from __future__ import annotations
 
 import math
+
+import jax
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -186,8 +188,16 @@ class SubgraphX(ExplainerBase):
     def explain(self, g: GraphBatch, label: int, max_nodes: int = 5,
                 node_idx: Optional[int] = None):
         """Returns (best MCTSNode, related_pred dict for ``label``)."""
+        if not hasattr(self, "_probs_fn"):
+            model = self.model
+
+            @jax.jit
+            def _probs_fn(params, g):
+                return jax.nn.softmax(model.apply(params, g, None), -1)
+
+            self._probs_fn = _probs_fn
         value_func = make_value_func(self.model, self.params, label,
-                                     node_idx)
+                                     node_idx, probs_fn=self._probs_fn)
         score_func = self._payoff(g, value_func, node_idx)
         mcts = MCTS(g, score_func, self.rollout, self.min_atoms,
                     self.c_puct, self.expand_atoms, self.high2low)
