@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,13 +29,22 @@ from ..datasets.graphs import GraphClsLoader
 from ..graph import GraphBatch
 
 
-def _embed_dataset(encoder, params, loader) -> tuple:
-    """Frozen-encoder embeddings for every real graph."""
+@functools.lru_cache(maxsize=32)
+def _embed_fwd(encoder):
+    # one compile per encoder module (flax modules are hashable frozen
+    # dataclasses) — a fresh jit per call re-traced every eval epoch
     @jax.jit
     def fwd(p, g):
         out = encoder.apply(p, g)
         zg = out[0] if isinstance(out, tuple) else out
         return zg, g.graph_mask
+
+    return fwd
+
+
+def _embed_dataset(encoder, params, loader) -> tuple:
+    """Frozen-encoder embeddings for every real graph."""
+    fwd = _embed_fwd(encoder)
 
     zs, ys = [], []
     for g in loader:
