@@ -22,7 +22,8 @@ from .mesh import (
     concat_local_shards,
 )
 from .partition import partition_graph, PartitionedGraph, build_partitions
-from .halo import halo_exchange_sum, partitioned_spmm, build_exchange_plan
+from .halo import (halo_exchange_sum, halo_exchange_sum_ring,
+                   partitioned_spmm, build_exchange_plan, build_ring_plan)
 from .dp import make_dp_train_step, make_dp_eval_step
 from .gp import (GPGraph, prepare_gp_graph, slab_layout,
                  make_gp_train_step, make_gp_engine,
@@ -37,7 +38,8 @@ __all__ = [
     "make_mesh", "shard_graph_batch", "replicate", "data_parallel_sharding",
     "concat_local_shards",
     "partition_graph", "PartitionedGraph", "build_partitions",
-    "halo_exchange_sum", "partitioned_spmm", "build_exchange_plan",
+    "halo_exchange_sum", "halo_exchange_sum_ring", "partitioned_spmm",
+    "build_exchange_plan", "build_ring_plan",
     "make_dp_train_step", "make_dp_eval_step",
     "GPGraph", "prepare_gp_graph", "slab_layout", "make_gp_train_step",
     "make_gp_engine", "GPLocalGraph", "unslab_layout",

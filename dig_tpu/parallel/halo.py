@@ -167,3 +167,114 @@ def halo_exchange_sum(x_parts, pg: PartitionedGraph, mesh, axis: str = "graph",
     )
     return fn(x_parts, sd["senders"], sd["receivers"], sd["edge_mask"],
               sd["send_slot"], sd["send_mask"], sd["recv_pos"])
+
+
+@dataclass
+class RingPlan:
+    """Host-precomputed ring schedule: for every (dest part p, source part
+    q) the edges whose sender lives on q, as (sender slot on q, receiver
+    slot on p) pairs padded to the max pair size K.
+
+    e_slot[p, q, k]: sender's slot within q's slab.
+    e_recv[p, q, k]: receiver's local slot on p.
+    e_mask[p, q, k]: validity.
+    """
+
+    e_slot: np.ndarray
+    e_recv: np.ndarray
+    e_mask: np.ndarray
+
+
+def build_ring_plan(pg: PartitionedGraph) -> RingPlan:
+    P, E = pg.senders.shape
+    C = pg.nodes_per_part
+    pairs = [[[] for _ in range(P)] for _ in range(P)]
+    for p in range(P):
+        for e in range(E):
+            if not pg.edge_mask[p, e]:
+                continue
+            s = int(pg.senders[p, e])
+            r = int(pg.receivers[p, e])
+            if s < C:
+                q, slot = p, s
+            else:
+                h = s - C
+                q, slot = int(pg.halo_src_part[p, h]), int(
+                    pg.halo_src_slot[p, h])
+            pairs[p][q].append((slot, r))
+    K = max(1, max(len(pairs[p][q]) for p in range(P) for q in range(P)))
+    e_slot = np.zeros((P, P, K), np.int32)
+    e_recv = np.zeros((P, P, K), np.int32)
+    e_mask = np.zeros((P, P, K), bool)
+    for p in range(P):
+        for q in range(P):
+            for k, (slot, r) in enumerate(pairs[p][q]):
+                e_slot[p, q, k] = slot
+                e_recv[p, q, k] = r
+                e_mask[p, q, k] = True
+    return RingPlan(e_slot=e_slot, e_recv=e_recv, e_mask=e_mask)
+
+
+def halo_exchange_sum_ring(x_parts, pg: PartitionedGraph, mesh,
+                           axis: str = "graph",
+                           plan: Optional[RingPlan] = None,
+                           edge_weight=None):
+    """Ring-pipelined partitioned aggregation (SURVEY §5's
+    "ring-attention-style halo pipelining"): whole slabs travel the ring
+    one ``ppermute`` hop per step while each device accumulates the
+    partial aggregation from the slab it currently holds — compute at
+    step s overlaps the hop for step s+1 (no data dependence between
+    them), and every transfer is a single-neighbor ICI hop instead of
+    the a2a's bisection traffic.
+
+    Trade (mirror of ring attention): total bytes moved per device are
+    O(P * C * F) regardless of cut size, vs the a2a's O(boundary rows).
+    Prefer the ring when the cut is dense (halo ~ whole slabs) or when
+    neighbor-hop bandwidth dominates; prefer a2a
+    (:func:`halo_exchange_sum`) for sparse, well-partitioned cuts.
+
+    Exactly equals :func:`halo_exchange_sum` (tests/test_parallel_ring.py).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P_
+
+    if plan is None:
+        plan = build_ring_plan(pg)
+    C = pg.nodes_per_part
+    Pn = mesh.shape[axis]
+
+    es = jnp.asarray(plan.e_slot)
+    er = jnp.asarray(plan.e_recv)
+    em = jnp.asarray(plan.e_mask)
+
+    def f(x, e_slot, e_recv, e_mask):
+        x = x[0]                                         # [C, F]
+        e_slot, e_recv, e_mask = e_slot[0], e_recv[0], e_mask[0]  # [P, K]
+        me = jax.lax.axis_index(axis)
+
+        def body(carry, s):
+            travel, out = carry
+            q = jnp.mod(me - s, Pn)                       # part we hold
+            rows = travel[e_slot[q]]                      # [K, F]
+            rows = jnp.where(e_mask[q][:, None], rows, 0.0)
+            out = out + jax.ops.segment_sum(rows, e_recv[q],
+                                            num_segments=C)
+            # hand the slab to the next device; independent of `out`, so
+            # XLA overlaps the hop with the accumulation above
+            travel = jax.lax.ppermute(
+                travel, axis,
+                [(i, (i + 1) % Pn) for i in range(Pn)])
+            return (travel, out), None
+
+        out0 = jnp.zeros_like(x)
+        (travel, out), _ = jax.lax.scan(
+            body, (x, out0), jnp.arange(Pn))
+        return out[None]
+
+    fn = shard_map(
+        f, mesh=mesh,
+        in_specs=(P_(axis), P_(axis), P_(axis), P_(axis)),
+        out_specs=P_(axis),
+        check_vma=False,
+    )
+    return fn(x_parts, es, er, em)
