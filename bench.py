@@ -104,14 +104,15 @@ def bench_spherenet():
     training) -> 776k; kj distances from the triplet frame table instead
     of a [T] scalar gather (ops/triplets.triplet_kj_distances) + one
     shared bessel evaluation -> 838k; NK-specialized edge frames
-    (broadcast i-gathers, free kn_tab) -> ~880k edges/s, flat through
-    G=192. Edges are counted host-side against the TRUE uncapped radius
-    graph.
+    (broadcast i-gathers, free kn_tab) -> ~880k; triplet mask folded into
+    the fused kernel (raw mask-free expand gathers, ops/triplets.
+    expand_kj_raw) -> ~1.0M edges/s at G=96. Edges are counted host-side
+    against the TRUE uncapped radius graph.
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
 
-    G, n_steps = 48, 10
+    G, n_steps = 96, 10
     mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
                                max_atoms=29, box=6.0)
     loader = MoleculeLoader(mols, G, slot_size=29, shuffle=True, seed=0)

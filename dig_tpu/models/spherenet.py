@@ -41,7 +41,7 @@ from ..ops.pallas_triplet import fused_angle_product, fused_triplet_product
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
-                            torsion_angles, triplet_geometry,
+                            expand_kj_raw, torsion_angles, triplet_geometry,
                             triplet_kj_distances, triplets_to_edges)
 
 go2 = glorot_orthogonal(2.0)
@@ -202,15 +202,16 @@ class UpdateE(nn.Module):
                     jnp.eye(tbf.shape[-1], dtype=cdt))
                 wt2 = D(self.int_emb_size)(
                     jnp.eye(self.basis_emb_size_torsion, dtype=cdt))
-            xg = expand_kj(x_kj, trip)
+            xg = expand_kj_raw(x_kj, trip)  # kernel applies the mask
             K = trip.nk_nbr.shape[1]
+            m2d = trip.mask.reshape(-1, K).astype(cdt)
             if self.use_torsion:
                 x_kj = fused_triplet_product(
-                    xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, K,
+                    xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, m2d, K,
                     basis_grads=self.pallas_basis_grads)
             else:
                 x_kj = fused_angle_product(
-                    xg, sbf, ws1 @ ws2, K,
+                    xg, sbf, ws1 @ ws2, m2d, K,
                     basis_grads=self.pallas_basis_grads)
         else:
             s = D(self.basis_emb_size_angle)(sbf)

@@ -52,27 +52,30 @@ def _on_tpu() -> bool:
 def _fwd_kernel(*refs, K, has_t):
     f32 = jnp.float32
     if has_t:
-        xg_ref, sbf_ref, tbf_ref, ws_ref, wt_ref, out_ref = refs
+        xg_ref, sbf_ref, tbf_ref, ws_ref, wt_ref, m_ref, out_ref = refs
     else:
-        xg_ref, sbf_ref, ws_ref, out_ref = refs
+        xg_ref, sbf_ref, ws_ref, m_ref, out_ref = refs
     prod = xg_ref[...].astype(f32) * jnp.dot(
         sbf_ref[...], ws_ref[...], preferred_element_type=f32)
     if has_t:
         prod = prod * jnp.dot(tbf_ref[...], wt_ref[...],
                               preferred_element_type=f32)
     TT, C = prod.shape
-    out_ref[...] = prod.reshape(TT // K, K, C).sum(axis=1).astype(
-        out_ref.dtype)
+    # 32-bit cast BEFORE the reshape: Mosaic only supports minor-dim
+    # insertion as a no-op for 32-bit types
+    m = m_ref[...].astype(f32).reshape(TT // K, K, 1)        # [TE, K, 1]
+    out_ref[...] = jnp.sum(prod.reshape(TT // K, K, C) * m,
+                           axis=1).astype(out_ref.dtype)
 
 
 def _bwd_kernel(*refs, K, has_t, basis_grads):
     f32 = jnp.float32
     if has_t:
-        xg_ref, sbf_ref, tbf_ref, ws_ref, wt_ref, ct_ref = refs[:6]
-        outs = refs[6:]
+        xg_ref, sbf_ref, tbf_ref, ws_ref, wt_ref, m_ref, ct_ref = refs[:7]
+        outs = refs[7:]
     else:
-        xg_ref, sbf_ref, ws_ref, ct_ref = refs[:4]
-        outs = refs[4:]
+        xg_ref, sbf_ref, ws_ref, m_ref, ct_ref = refs[:5]
+        outs = refs[5:]
     i = 0
     dxg_ref = outs[i]; i += 1
     if basis_grads:
@@ -90,7 +93,9 @@ def _bwd_kernel(*refs, K, has_t, basis_grads):
     x = xg_ref[...].astype(f32)                              # [TT, C]
     TT, C = x.shape
     ct = ct_ref[...].astype(f32)                             # [TT//K, C]
-    ctb = jnp.broadcast_to(ct[:, None, :], (TT // K, K, C)).reshape(TT, C)
+    m = m_ref[...].astype(f32)                               # [TE, K]
+    ctb = (jnp.broadcast_to(ct[:, None, :], (TT // K, K, C))
+           * m[:, :, None]).reshape(TT, C)
     if has_t:
         tbf = tbf_ref[...].astype(f32)
         wt = wt_ref[...].astype(f32)
@@ -138,7 +143,7 @@ def _full_spec(r, c):
     return pl.BlockSpec((r, c), lambda k: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _run_fwd(xg, sbf, tbf, ws, wt, K, tile_e):
+def _run_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e):
     has_t = tbf is not None
     E = xg.shape[0] // K
     C = xg.shape[1]
@@ -155,6 +160,8 @@ def _run_fwd(xg, sbf, tbf, ws, wt, K, tile_e):
     if has_t:
         ins.append(wt)
         specs.append(_full_spec(wt.shape[0], C))
+    ins.append(_pad_rows(mask2d, n_tiles * tile_e))
+    specs.append(_row_spec(tile_e, K))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, K=K, has_t=has_t),
         grid=(n_tiles,),
@@ -166,7 +173,7 @@ def _run_fwd(xg, sbf, tbf, ws, wt, K, tile_e):
     return out[:E]
 
 
-def _run_bwd(xg, sbf, tbf, ws, wt, ct, K, tile_e, basis_grads):
+def _run_bwd(xg, sbf, tbf, ws, wt, mask2d, ct, K, tile_e, basis_grads):
     has_t = tbf is not None
     E = xg.shape[0] // K
     C = xg.shape[1]
@@ -184,6 +191,8 @@ def _run_bwd(xg, sbf, tbf, ws, wt, ct, K, tile_e, basis_grads):
     if has_t:
         ins.append(wt)
         specs.append(_full_spec(wt.shape[0], C))
+    ins.append(_pad_rows(mask2d, n_tiles * tile_e))
+    specs.append(_row_spec(tile_e, K))
     ins.append(_pad_rows(ct, n_tiles * tile_e))
     specs.append(_row_spec(tile_e, C))
 
@@ -227,63 +236,72 @@ def _run_bwd(xg, sbf, tbf, ws, wt, ct, K, tile_e, basis_grads):
     return dxg, dsbf, dtbf, dws, dwt
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_triplet_product(xg, sbf, tbf, ws, wt, K: int, tile_e: int = 128,
-                          basis_grads: bool = True):
-    """out[e] = sum_dd xg[e*K+dd] * (sbf[e*K+dd] @ ws) * (tbf[e*K+dd] @ wt).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_triplet_product(xg, sbf, tbf, ws, wt, mask2d, K: int,
+                          tile_e: int = 128, basis_grads: bool = True):
+    """out[e] = sum_dd mask[e,dd] * xg[e*K+dd] * (sbf[e*K+dd] @ ws)
+    * (tbf[e*K+dd] @ wt).
 
-    xg [T, C] (masked rows must be zero — expand_kj guarantees this),
-    sbf [T, S1], tbf [T, S2], ws [S1, C], wt [S2, C]; T = E * K.
+    xg [T, C], sbf [T, S1], tbf [T, S2], ws [S1, C], wt [S2, C],
+    mask2d [E, K] (the triplet mask reshaped — the kernel applies it, so
+    callers may feed RAW unmasked gathers and skip their [T, C] where
+    passes; the backward zeroes all cotangent rows at masked triplets,
+    which also licenses expand_kj's mask-free adjoint). T = E * K.
     Returns [E, C] in xg's dtype. First-order VJP (one backward kernel).
 
     ``basis_grads=False`` returns SYMBOLIC ZEROS for d_sbf/d_tbf — only
     valid when the basis inputs never reach a differentiated variable
     (energy-only training: the basis depends on positions, not params).
     """
-    return _run_fwd(xg, sbf, tbf, ws, wt, K, tile_e)
+    return _run_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e)
 
 
-def _ftp_fwd(xg, sbf, tbf, ws, wt, K, tile_e, basis_grads):
-    return _run_fwd(xg, sbf, tbf, ws, wt, K, tile_e), (xg, sbf, tbf, ws, wt)
+def _ftp_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e, basis_grads):
+    return (_run_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e),
+            (xg, sbf, tbf, ws, wt, mask2d))
 
 
 def _ftp_bwd(K, tile_e, basis_grads, res, ct):
-    xg, sbf, tbf, ws, wt = res
-    dxg, dsbf, dtbf, dws, dwt = _run_bwd(xg, sbf, tbf, ws, wt, ct, K,
-                                         tile_e, basis_grads)
-    return dxg, dsbf, dtbf, dws, dwt
+    xg, sbf, tbf, ws, wt, mask2d = res
+    dxg, dsbf, dtbf, dws, dwt = _run_bwd(xg, sbf, tbf, ws, wt, mask2d, ct,
+                                         K, tile_e, basis_grads)
+    return dxg, dsbf, dtbf, dws, dwt, None
 
 
 fused_triplet_product.defvjp(_ftp_fwd, _ftp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_angle_product(xg, sbf, ws, K: int, tile_e: int = 128,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_angle_product(xg, sbf, ws, mask2d, K: int, tile_e: int = 128,
                         basis_grads: bool = True):
     """DimeNet++ (no-torsion) variant:
-    out[e] = sum_dd xg[e*K+dd] * (sbf[e*K+dd] @ ws)."""
-    return _run_fwd(xg, sbf, None, ws, None, K, tile_e)
+    out[e] = sum_dd mask[e,dd] * xg[e*K+dd] * (sbf[e*K+dd] @ ws)."""
+    return _run_fwd(xg, sbf, None, ws, None, mask2d, K, tile_e)
 
 
-def _fap_fwd(xg, sbf, ws, K, tile_e, basis_grads):
-    return _run_fwd(xg, sbf, None, ws, None, K, tile_e), (xg, sbf, ws)
+def _fap_fwd(xg, sbf, ws, mask2d, K, tile_e, basis_grads):
+    return (_run_fwd(xg, sbf, None, ws, None, mask2d, K, tile_e),
+            (xg, sbf, ws, mask2d))
 
 
 def _fap_bwd(K, tile_e, basis_grads, res, ct):
-    xg, sbf, ws = res
-    dxg, dsbf, _, dws, _ = _run_bwd(xg, sbf, None, ws, None, ct, K,
-                                    tile_e, basis_grads)
-    return dxg, dsbf, dws
+    xg, sbf, ws, mask2d = res
+    dxg, dsbf, _, dws, _ = _run_bwd(xg, sbf, None, ws, None, mask2d, ct,
+                                    K, tile_e, basis_grads)
+    return dxg, dsbf, dws, None
 
 
 fused_angle_product.defvjp(_fap_fwd, _fap_bwd)
 
 
-def fused_triplet_product_ref(xg, sbf, tbf, ws, wt, K: int):
+def fused_triplet_product_ref(xg, sbf, tbf, ws, wt, K: int, mask2d=None):
     """XLA oracle (materializes the [T, C] chain). ``tbf``/``wt`` may be
-    None (DimeNet++)."""
+    None (DimeNet++); ``mask2d`` defaults to all-true."""
     prod = xg.astype(jnp.float32) * jnp.dot(sbf, ws).astype(jnp.float32)
     if tbf is not None:
         prod = prod * jnp.dot(tbf, wt).astype(jnp.float32)
     E = xg.shape[0] // K
-    return prod.reshape(E, K, xg.shape[1]).sum(axis=1).astype(xg.dtype)
+    prod = prod.reshape(E, K, xg.shape[1])
+    if mask2d is not None:
+        prod = prod * mask2d.astype(jnp.float32)[:, :, None]
+    return prod.sum(axis=1).astype(xg.dtype)

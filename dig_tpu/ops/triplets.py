@@ -267,6 +267,43 @@ def _expand_kj_nk_bwd(res, ct):
 _expand_kj_nk.defvjp(_expand_kj_nk_fwd, _expand_kj_nk_bwd)
 
 
+@jax.custom_vjp
+def _expand_kj_nk_raw(x, nk_nbr, nk_rev, in_mask):
+    N, K = nk_nbr.shape
+    return x.reshape(N, K, x.shape[-1])[nk_nbr].reshape(N * K * K, -1)
+
+
+def _expand_kj_nk_raw_fwd(x, nk_nbr, nk_rev, in_mask):
+    return _expand_kj_nk_raw(x, nk_nbr, nk_rev, in_mask), (nk_rev, in_mask)
+
+
+def _expand_kj_nk_raw_bwd(res, ct):
+    nk_rev, in_mask = res
+    N, K = nk_rev.shape
+    C = ct.shape[-1]
+    ctE = ct.reshape(N * K, K, C)
+    g4 = ctE[nk_rev]
+    g4 = jnp.where(in_mask[:, :, None, None], g4, 0)
+    return (g4.sum(axis=1).reshape(N * K, C), None, None, None)
+
+
+_expand_kj_nk_raw.defvjp(_expand_kj_nk_raw_fwd, _expand_kj_nk_raw_bwd)
+
+
+def expand_kj_raw(x: Array, trip: Triplets) -> Array:
+    """Mask-FREE NK block-gather expand: returns raw gathered rows with
+    garbage at invalid triplet slots, and an adjoint that covers only the
+    mutual-edge slots.
+
+    ONLY safe when the consumer both (a) multiplies the output by the
+    triplet mask before any reduction and (b) zeroes its cotangent at
+    masked rows — :func:`dig_tpu.ops.pallas_triplet.fused_triplet_product`
+    does exactly this, which lets the pipeline skip two [T, C] where
+    passes per layer."""
+    assert trip.nk_nbr is not None
+    return _expand_kj_nk_raw(x, trip.nk_nbr, trip.nk_rev, trip.in_mask)
+
+
 def expand_kj(x: Array, trip: Triplets) -> Array:
     """Gather per-edge rows ``x [E, F]`` to triplet rows ``[T, F]`` via
     ``idx_kj``, zeroing masked triplets — with a scatter-free custom VJP.

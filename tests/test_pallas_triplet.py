@@ -11,38 +11,40 @@ from dig_tpu.ops.pallas_triplet import (fused_triplet_product,
 
 
 def _inputs(E=100, K=8, C=32, S1=18, S2=54, seed=0):
-    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    m2d = (jax.random.uniform(ks[5], (E, K)) > 0.2).astype(jnp.float32)
     return (jax.random.normal(ks[0], (E * K, C)),
             jax.random.normal(ks[1], (E * K, S1)),
             jax.random.normal(ks[2], (E * K, S2)),
             0.1 * jax.random.normal(ks[3], (S1, C)),
-            0.1 * jax.random.normal(ks[4], (S2, C)))
+            0.1 * jax.random.normal(ks[4], (S2, C)),
+            m2d)
 
 
 @pytest.mark.parametrize("tile_e", [16, 64])
 def test_fwd_matches_oracle(tile_e):
-    xg, sbf, tbf, ws, wt = _inputs()
-    out = fused_triplet_product(xg, sbf, tbf, ws, wt, 8, tile_e)
-    ref = fused_triplet_product_ref(xg, sbf, tbf, ws, wt, 8)
+    xg, sbf, tbf, ws, wt, m2d = _inputs()
+    out = fused_triplet_product(xg, sbf, tbf, ws, wt, m2d, 8, tile_e)
+    ref = fused_triplet_product_ref(xg, sbf, tbf, ws, wt, 8, m2d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_fwd_ragged_tail():
     """E not divisible by tile_e — zero-padded tail must not leak."""
-    xg, sbf, tbf, ws, wt = _inputs(E=37, K=4, C=16)
-    out = fused_triplet_product(xg, sbf, tbf, ws, wt, 4, 16)
-    ref = fused_triplet_product_ref(xg, sbf, tbf, ws, wt, 4)
+    xg, sbf, tbf, ws, wt, m2d = _inputs(E=37, K=4, C=16)
+    out = fused_triplet_product(xg, sbf, tbf, ws, wt, m2d, 4, 16)
+    ref = fused_triplet_product_ref(xg, sbf, tbf, ws, wt, 4, m2d)
     assert out.shape == (37, 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_vjp_matches_oracle():
-    xg, sbf, tbf, ws, wt = _inputs(seed=1)
-    out = fused_triplet_product(xg, sbf, tbf, ws, wt, 8, 16)
+    xg, sbf, tbf, ws, wt, m2d = _inputs(seed=1)
+    out = fused_triplet_product(xg, sbf, tbf, ws, wt, m2d, 8, 16)
     ct = jax.random.normal(jax.random.PRNGKey(9), out.shape)
-    g_f = jax.vjp(lambda *a: fused_triplet_product(*a, 8, 16),
+    g_f = jax.vjp(lambda *a: fused_triplet_product(*a, m2d, 8, 16),
                   xg, sbf, tbf, ws, wt)[1](ct)
-    g_r = jax.vjp(lambda *a: fused_triplet_product_ref(*a, 8),
+    g_r = jax.vjp(lambda *a: fused_triplet_product_ref(*a, 8, m2d),
                   xg, sbf, tbf, ws, wt)[1](ct)
     for name, a, b in zip(["dxg", "dsbf", "dtbf", "dws", "dwt"], g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
@@ -51,12 +53,12 @@ def test_vjp_matches_oracle():
 
 def test_basis_grads_elision():
     """basis_grads=False: weight/x grads still exact, basis grads zero."""
-    xg, sbf, tbf, ws, wt = _inputs(E=37, K=4, C=16, seed=2)
-    out = fused_triplet_product(xg, sbf, tbf, ws, wt, 4, 16, False)
+    xg, sbf, tbf, ws, wt, m2d = _inputs(E=37, K=4, C=16, seed=2)
+    out = fused_triplet_product(xg, sbf, tbf, ws, wt, m2d, 4, 16, False)
     ct = jax.random.normal(jax.random.PRNGKey(3), out.shape)
-    g_f = jax.vjp(lambda *a: fused_triplet_product(*a, 4, 16, False),
+    g_f = jax.vjp(lambda *a: fused_triplet_product(*a, m2d, 4, 16, False),
                   xg, sbf, tbf, ws, wt)[1](ct)
-    g_r = jax.vjp(lambda *a: fused_triplet_product_ref(*a, 4),
+    g_r = jax.vjp(lambda *a: fused_triplet_product_ref(*a, 4, m2d),
                   xg, sbf, tbf, ws, wt)[1](ct)
     np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_r[0]),
                                atol=1e-3)
@@ -99,15 +101,15 @@ def test_spherenet_pallas_triplet_matches_unfused():
 
 def test_fused_angle_product_matches_oracle():
     from dig_tpu.ops.pallas_triplet import fused_angle_product
-    xg, sbf, _, ws, _ = _inputs(E=37, K=4, C=16, seed=4)
-    out = fused_angle_product(xg, sbf, ws, 4, 16)
-    ref = fused_triplet_product_ref(xg, sbf, None, ws, None, 4)
+    xg, sbf, _, ws, _, m2d = _inputs(E=37, K=4, C=16, seed=4)
+    out = fused_angle_product(xg, sbf, ws, m2d, 4, 16)
+    ref = fused_triplet_product_ref(xg, sbf, None, ws, None, 4, m2d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
     ct = jax.random.normal(jax.random.PRNGKey(5), out.shape)
-    g_f = jax.vjp(lambda *a: fused_angle_product(*a, 4, 16),
+    g_f = jax.vjp(lambda *a: fused_angle_product(*a, m2d, 4, 16),
                   xg, sbf, ws)[1](ct)
     g_r = jax.vjp(lambda *a: fused_triplet_product_ref(a[0], a[1], None,
-                                                       a[2], None, 4),
+                                                       a[2], None, 4, m2d),
                   xg, sbf, ws)[1](ct)
     for name, a, b in zip(["dxg", "dsbf", "dws"], g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
