@@ -223,6 +223,11 @@ class BucketedDenseMoleculeLoader:
         out = {}
         for n_max, G in self.slot_counts.items():
             fills, members, chunk = state[n_max]
+            if not chunk:
+                # eval-mode tail flushes can leave a bucket empty; packing
+                # an empty chunk would crash, and consumers iterate the
+                # emitted dict's keys, so just omit the bucket
+                continue
             out[n_max] = self._packed(chunk, G, n_max, self.max_per_slot,
                                       slots=members)
         return out

@@ -224,10 +224,14 @@ class GraphDF(Generator):
             for j in range(edge_total):
                 edge_dis = np.tile(edge_logits[edge_idx], (B, 1))
                 resolved = ~alive.copy()
-                n_invalid = np.zeros(B, np.int64)
+                invalid = [set() for _ in range(B)]
                 resample = np.zeros(B, np.int64)
                 while not resolved.all():
-                    give_up = (n_invalid >= 3) | (resample > 50)
+                    # reference semantics (graphflow.py:122-150): give up
+                    # after 3 DISTINCT invalid bond types or 50 resamples
+                    give_up = np.array(
+                        [len(invalid[b]) >= 3 or resample[b] > 50
+                         for b in range(B)])
                     latent = np.zeros((B, bond_dim), np.float32)
                     lid = np.zeros(B, np.int64)
                     for b in range(B):
@@ -260,7 +264,7 @@ class GraphDF(Generator):
                         adj[b, e, i, j + start] = 0.0
                         adj[b, e, j + start, i] = 0.0
                         edge_dis[b, lid[b]] = -np.inf
-                        n_invalid[b] += 1
+                        invalid[b].add(e)
                         total_resample[b] += 1
                         resample[b] += 1
                 edge_idx += 1
@@ -277,72 +281,6 @@ class GraphDF(Generator):
                   for b in range(B)]
         return finals, [1 if total_resample[b] == 0 else 0
                         for b in range(B)]
-
-    def _generate_one(self, params, rev_node, rev_edge, node_logits,
-                      edge_logits, rng, N, U, node_dim, bond_dim,
-                      atom_list, temperature, min_atoms):
-        x = np.zeros((1, N, node_dim), np.float32)
-        adj = np.zeros((1, bond_dim, N, N), np.float32)
-        mol = Mol()
-        backup = None
-        total_resample = 0
-        edge_idx = 0
-        for i in range(N):
-            p = _np_softmax(node_logits[i] * temperature[0])
-            latent = np.zeros((1, node_dim), np.float32)
-            latent[0, rng.choice(node_dim, p=p)] = 1.0
-            out = np.asarray(rev_node(params, jnp.asarray(x),
-                                      jnp.asarray(adj),
-                                      jnp.asarray(latent)))
-            fid = int(np.argmax(out[0]))
-            x[0, i, fid] = 1.0
-            adj[0, :, i, i] = 1.0
-            mol.add_atom(atom_list[fid])
-            is_connect = i == 0
-            edge_total = i if i < U else U
-            start = max(i - U, 0)
-            for j in range(edge_total):
-                edge_dis = edge_logits[edge_idx].copy()
-                invalid = set()
-                resample = 0
-                while True:
-                    if len(invalid) < 3 and resample <= 50:
-                        pe = _np_softmax(edge_dis / temperature[1])
-                        latent = np.zeros((1, bond_dim), np.float32)
-                        lid = rng.choice(bond_dim, p=pe)
-                        latent[0, lid] = 1.0
-                        ei = jnp.asarray([[j + start, i]], jnp.int32)
-                        out = np.asarray(rev_edge(params, jnp.asarray(x),
-                                                  jnp.asarray(adj),
-                                                  jnp.asarray(latent), ei))
-                        eid = int(np.argmax(out[0]))
-                    else:
-                        eid = bond_dim - 1  # no-edge
-                    adj[0, eid, i, j + start] = 1.0
-                    adj[0, eid, j + start, i] = 1.0
-                    if eid == bond_dim - 1:
-                        break
-                    mol.add_bond(i, j + start, float(eid + 1))
-                    if check_valency(mol):
-                        is_connect = True
-                        break
-                    # backtrack
-                    mol.remove_bond(i, j + start)
-                    adj[0, eid, i, j + start] = 0.0
-                    adj[0, eid, j + start, i] = 0.0
-                    edge_dis[lid] = -np.inf
-                    invalid.add(eid)
-                    total_resample += 1
-                    resample += 1
-                edge_idx += 1
-            if is_connect:
-                backup = mol.copy()
-            else:
-                # drop the dangling atom, stop growth
-                mol = backup if backup is not None else mol
-                break
-        final = backup if backup is not None else mol
-        return final, 1 if total_resample == 0 else 0
 
     # -- property optimization (PPO fine-tune) ----------------------------
     def train_prop_opt(self, prop: str = "plogp",
@@ -680,65 +618,7 @@ class GraphAF(GraphDF):
         return finals, [1 if total_resample[b] == 0 else 0
                         for b in range(B)]
 
-    def _generate_one_gauss(self, params, rev_node, rev_edge, rng, N, U,
-                            node_dim, bond_dim, atom_list, temperature,
-                            min_atoms):
-        x = np.zeros((1, N, node_dim), np.float32)
-        adj = np.zeros((1, bond_dim, N, N), np.float32)
-        mol = Mol()
-        backup = None
-        total_resample = 0
-        for i in range(N):
-            latent = rng.normal(0, temperature[0],
-                                (1, node_dim)).astype(np.float32)
-            out = np.asarray(rev_node(params, jnp.asarray(x),
-                                      jnp.asarray(adj),
-                                      jnp.asarray(latent)))
-            fid = int(np.argmax(out[0]))
-            x[0, i, fid] = 1.0
-            adj[0, :, i, i] = 1.0
-            mol.add_atom(atom_list[fid])
-            is_connect = i == 0
-            edge_total = i if i < U else U
-            start = max(i - U, 0)
-            for j in range(edge_total):
-                invalid = set()
-                resample = 0
-                while True:
-                    if len(invalid) < 3 and resample <= 50:
-                        latent = rng.normal(0, temperature[1],
-                                            (1, bond_dim)).astype(np.float32)
-                        ei = jnp.asarray([[j + start, i]], jnp.int32)
-                        out = np.asarray(rev_edge(params, jnp.asarray(x),
-                                                  jnp.asarray(adj),
-                                                  jnp.asarray(latent), ei))
-                        out = out[0].copy()
-                        for bad in invalid:
-                            out[bad] = -np.inf
-                        eid = int(np.argmax(out))
-                    else:
-                        eid = bond_dim - 1
-                    adj[0, eid, i, j + start] = 1.0
-                    adj[0, eid, j + start, i] = 1.0
-                    if eid == bond_dim - 1:
-                        break
-                    mol.add_bond(i, j + start, float(eid + 1))
-                    if check_valency(mol):
-                        is_connect = True
-                        break
-                    mol.remove_bond(i, j + start)
-                    adj[0, eid, i, j + start] = 0.0
-                    adj[0, eid, j + start, i] = 0.0
-                    invalid.add(eid)
-                    total_resample += 1
-                    resample += 1
-            if is_connect:
-                backup = mol.copy()
-            else:
-                mol = backup if backup is not None else mol
-                break
-        final = backup if backup is not None else mol
-        return final, 1 if total_resample == 0 else 0
+
 
 
 class GraphEBM(Generator):

@@ -329,7 +329,8 @@ class _SphericalMPNN(nn.Module):
         if self.nk_degree > 0:
             if self.block_size > 0:
                 nkg = radius_graph_nk_blocked(pos, g.node_mask, self.cutoff,
-                                              self.nk_degree, self.block_size)
+                                              self.nk_degree, self.block_size,
+                                              node_graph=g.node_graph)
             else:
                 nkg = radius_graph_nk(pos, g.node_graph, g.node_mask,
                                       self.cutoff, self.nk_degree)

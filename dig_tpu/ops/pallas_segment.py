@@ -188,6 +188,10 @@ def spmm_csr(rowptr, col, val, x, num_rows: int, *, block_rows: int = 32,
     E = col.shape[0]
     seg = jnp.repeat(jnp.arange(rowptr.shape[0] - 1, dtype=jnp.int32),
                      jnp.diff(rowptr), total_repeat_length=E)
+    # jnp.repeat pads the tail with the LAST row id, not -1 — trailing
+    # padded edges (static-shape convention: len(col) > rowptr[-1]) would
+    # otherwise add x[col_pad] into out[num_rows - 1]
+    seg = jnp.where(jnp.arange(E) < rowptr[-1], seg, -1)
     data = x[col]
     if val is not None:
         data = data * val[:, None]

@@ -168,7 +168,8 @@ def radius_overflow(pos: Array, node_graph: Array, node_mask: Array,
 
 
 def radius_graph_nk_blocked(pos: Array, node_mask: Array, cutoff: float,
-                            k: int, block: int) -> NKGraph:
+                            k: int, block: int,
+                            node_graph: Optional[Array] = None) -> NKGraph:
     """:func:`radius_graph_nk` for *slot-aligned* batches — O(G * B^2)
     instead of O(N^2).
 
@@ -197,6 +198,14 @@ def radius_graph_nk_blocked(pos: Array, node_mask: Array, cutoff: float,
     d2 = jnp.maximum(d2, 0.0)
     valid = (m[:, :, None] & m[:, None, :]
              & ~jnp.eye(block, dtype=bool)[None])
+    if node_graph is not None:
+        # guard against NON-slot-aligned batches: without this, a block
+        # straddling two molecules would create cross-molecule edges.
+        # (Molecules split ACROSS blocks still lose their cross-block
+        # pairs — slot alignment via MoleculeLoader(slot_size=block) is
+        # the caller's contract; this mask only prevents wrong edges.)
+        gb = node_graph.reshape(nb, block)
+        valid = valid & (gb[:, :, None] == gb[:, None, :])
     adj = valid & (d2 < cutoff * cutoff)
     score = jnp.where(adj, -d2, -jnp.inf)
     kk = min(k, block)  # a block holds at most block-1 neighbors

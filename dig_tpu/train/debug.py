@@ -74,7 +74,7 @@ def assert_donation_discipline(step_fn, state, batch) -> None:
 def collective_selfcheck(mesh, axis: str = None) -> dict:
     """Run known-answer collectives over every axis of `mesh` and assert
     exact results. Returns {axis: size} on success; raises otherwise."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     checked = {}
@@ -84,7 +84,7 @@ def collective_selfcheck(mesh, axis: str = None) -> dict:
         x = jnp.arange(n, dtype=jnp.float32)
 
         @partial(shard_map, mesh=mesh, in_specs=P(ax), out_specs=P(ax),
-                 check_rep=False)
+                 check_vma=False)
         def probe(xs):
             me = xs[0]                                   # this shard's id
             tot = jax.lax.psum(me, ax)                   # sum of ids

@@ -57,11 +57,19 @@ class StepProfiler:
     @contextlib.contextmanager
     def step(self):
         self._maybe_start()
-        if self._active:
-            with jax.profiler.StepTraceAnnotation("train", step_num=self._n):
+        try:
+            if self._active:
+                with jax.profiler.StepTraceAnnotation("train",
+                                                      step_num=self._n):
+                    yield
+            else:
                 yield
-        else:
-            yield
+        except BaseException:
+            # stop the trace when the step raises (OOM, NaN checks) — a
+            # dangling active trace poisons every later start_trace in the
+            # process and the partial trace is never flushed
+            self.stop()
+            raise
         self._n += 1
         if self._active and self._n >= self.end:
             self.stop()
