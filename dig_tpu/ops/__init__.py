@@ -2,10 +2,13 @@
 radius-graph construction, triplet/torsion index building, basis functions.
 
 XLA implementations are the reference semantics. Pallas TPU kernels back
-two hot paths: the fused dense cfconv (``pallas_cfconv.py``) and the
+three hot paths: the fused dense cfconv (``pallas_cfconv.py``), the
 sorted-CSR segment-sum/SpMM (``pallas_segment.py``, opt-in via the
-models' ``segment_eb`` attribute / ``segment_sum_sorted``; off-TPU both
-fall back to the XLA path so tests run everywhere).
+models' ``segment_eb`` attribute / ``segment_sum_sorted`` /
+``spmm_bidir_csr``), and the fused triplet interaction
+(``pallas_triplet.py``, ``SphereNet(pallas_triplet=True)``); off-TPU all
+fall back to the XLA path / interpret mode so tests run everywhere.
+Periodic-boundary radius graphs live in ``pbc.py``.
 """
 from .segment import (
     segment_sum,
@@ -16,15 +19,25 @@ from .segment import (
     segment_softmax,
     segment_normalize,
     segment_argmin,
+    spmm_bidir_csr,
 )
 from .scatter import gather, scatter_sum_edges, coalesce_mean
-from .radius import radius_graph_flat, knn_graph_flat, radius_overflow
-from .triplets import build_triplets, triplet_geometry, torsion_angles
+from .radius import (radius_graph_flat, knn_graph_flat, radius_overflow,
+                     radius_graph_nk, radius_graph_nk_blocked)
+from .triplets import (build_triplets, build_triplets_nk, triplet_geometry,
+                       torsion_angles, triplet_kj_distances)
+from .pbc import radius_graph_pbc_flat, pbc_overflow
+from .pallas_triplet import fused_angle_product, fused_triplet_product
 
 __all__ = [
-    "segment_sum", "segment_mean", "segment_max", "segment_min",
-    "segment_softmax", "segment_normalize", "segment_argmin",
+    "segment_sum", "segment_sum_sorted", "segment_mean", "segment_max",
+    "segment_min", "segment_softmax", "segment_normalize", "segment_argmin",
+    "spmm_bidir_csr",
     "gather", "scatter_sum_edges", "coalesce_mean",
     "radius_graph_flat", "knn_graph_flat", "radius_overflow",
-    "build_triplets", "triplet_geometry", "torsion_angles",
+    "radius_graph_nk", "radius_graph_nk_blocked",
+    "build_triplets", "build_triplets_nk", "triplet_geometry",
+    "torsion_angles", "triplet_kj_distances",
+    "radius_graph_pbc_flat", "pbc_overflow",
+    "fused_angle_product", "fused_triplet_product",
 ]
