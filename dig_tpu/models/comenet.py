@@ -11,6 +11,8 @@ dynamic shapes.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -33,13 +35,16 @@ class TwoLayerLinear(nn.Module):
     middle: int
     out: int
     act: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.middle, use_bias=False, kernel_init=xavier)(x)
+        x = nn.Dense(self.middle, use_bias=False, kernel_init=xavier,
+                     dtype=self.dtype)(x)
         if self.act:
             x = swish(x)
-        x = nn.Dense(self.out, use_bias=False, kernel_init=xavier)(x)
+        x = nn.Dense(self.out, use_bias=False, kernel_init=xavier,
+                     dtype=self.dtype)(x)
         if self.act:
             x = swish(x)
         return x
@@ -50,15 +55,17 @@ class EdgeGraphConv(nn.Module):
     (comenet.py:130-134): out = W_rel(sum_j w_e * x_j) + W_root(x)."""
 
     out_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, edge_weight,
                  num_nodes):
         msgs = x[senders] * edge_weight
         agg = segment_sum(msgs, receivers, num_nodes, mask=edge_mask)
-        return (nn.Dense(self.out_dim, kernel_init=xavier)(agg)
+        return (nn.Dense(self.out_dim, kernel_init=xavier,
+                         dtype=self.dtype)(agg)
                 + nn.Dense(self.out_dim, use_bias=False,
-                           kernel_init=xavier)(x))
+                           kernel_init=xavier, dtype=self.dtype)(x))
 
 
 class GraphNorm(nn.Module):

@@ -9,6 +9,8 @@ embeddings; three EdgeGraphConv streams per interaction block.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -49,32 +51,36 @@ class ProNetInteraction(nn.Module):
     mid_emb: int
     num_layers: int = 3
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, feature0, feature1, pos_emb, senders, receivers,
                  edge_mask, g: GraphBatch, deterministic: bool = True):
         N = g.num_nodes
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        f0 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(feature0)
-        f1 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(feature1)
-        f2 = TwoLayerLinear(self.mid_emb, self.hidden, act=True)(pos_emb)
-        h = swish(nn.Dense(self.hidden, kernel_init=xavier)(x))
-        h0 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier)(
-            EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
+        f0 = TwoLayerLinear(self.mid_emb, self.hidden, act=True,
+                            dtype=self.dtype)(feature0)
+        f1 = TwoLayerLinear(self.mid_emb, self.hidden, act=True,
+                            dtype=self.dtype)(feature1)
+        f2 = TwoLayerLinear(self.mid_emb, self.hidden, act=True,
+                            dtype=self.dtype)(pos_emb)
+        h = swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(x))
+        h0 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(
+            EdgeGraphConv(self.hidden, dtype=self.dtype)(h, senders, receivers, edge_mask,
                                        f0, N))))
-        h1 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier)(
-            EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
+        h1 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(
+            EdgeGraphConv(self.hidden, dtype=self.dtype)(h, senders, receivers, edge_mask,
                                        f1, N))))
-        h2 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier)(
-            EdgeGraphConv(self.hidden)(h, senders, receivers, edge_mask,
+        h2 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(
+            EdgeGraphConv(self.hidden, dtype=self.dtype)(h, senders, receivers, edge_mask,
                                        f2, N))))
         out = jnp.concatenate([h0, h1, h2], axis=-1)
         for li in range(self.num_layers):
-            out = swish(nn.Dense(self.hidden, kernel_init=xavier)(out))
-        out = out + swish(nn.Dense(self.hidden, kernel_init=xavier)(x))
+            out = swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(out))
+        out = out + swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(x))
         for _ in range(self.num_layers - 1):
-            out = swish(nn.Dense(self.hidden, kernel_init=xavier)(out))
-        return nn.Dense(self.hidden, kernel_init=xavier)(out)
+            out = swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(out))
+        return nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(out)
 
 
 class ProNet(nn.Module):
@@ -97,6 +103,9 @@ class ProNet(nn.Module):
     num_pos_emb: int = 16
     max_edges: int = 8192
     dropout: float = 0.0
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16: run
+    # the conv/filter matmuls on the MXU in bf16 (params, geometry, basis,
+    # readout stay f32 — same policy as SphereNet.compute_dtype)
     data_augment_eachlayer: bool = False  # pronet.py:455-458: clipped
     # N(0, 0.025) node-feature noise before each block (train only)
     euler_noise: bool = False             # pronet.py:425-429: clipped
@@ -208,9 +217,11 @@ class ProNet(nn.Module):
             if self.data_augment_eachlayer and not deterministic:
                 x = x + clipped_noise(x.shape)
             x = ProNetInteraction(self.hidden_channels, self.mid_emb,
-                                  self.int_emb_layers, self.dropout)(
+                                  self.int_emb_layers, self.dropout,
+                                  dtype=self.compute_dtype)(
                 x, feature0, feature1, pos_emb, senders, receivers,
                 edge_mask, g, deterministic)
+            x = x.astype(jnp.float32)
             x = jnp.where(g.node_mask[:, None], x, 0.0)
 
         y = segment_sum(x, g.node_graph, g.num_graphs, mask=g.node_mask)

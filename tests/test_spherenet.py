@@ -179,6 +179,13 @@ def test_pronet_levels_and_training():
         out = model.apply(params, g)
         assert out.shape == (4, 4)
         assert np.all(np.isfinite(np.asarray(out)))
+        # bf16 compute path: same params, close outputs
+        m16 = ProNet(level=level, num_blocks=1, hidden_channels=24,
+                     mid_emb=12, out_channels=4, max_edges=512,
+                     compute_dtype=jnp.bfloat16)
+        out16 = m16.apply(params, g)
+        np.testing.assert_allclose(np.asarray(out16), np.asarray(out),
+                                   rtol=0.1, atol=0.1)
     # gradient flows through the geometry
     model = ProNet(level="aminoacid", num_blocks=1, hidden_channels=24,
                    mid_emb=12, out_channels=4, max_edges=512)
