@@ -41,6 +41,12 @@ class MoleculeLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.slot_size = slot_size
         if slot_size is not None:
+            if (n_node_pad is not None
+                    and n_node_pad != batch_size * slot_size):
+                raise ValueError(
+                    f"n_node_pad={n_node_pad} conflicts with slot_size="
+                    f"{slot_size} (slot layout requires n_node_pad = "
+                    f"batch_size * slot_size = {batch_size * slot_size})")
             n_node_pad = batch_size * slot_size
         elif n_node_pad is None:
             max_atoms = max(len(m["z"]) for m in self.data)
@@ -224,9 +230,22 @@ class BucketedDenseMoleculeLoader:
         for n_max, G in self.slot_counts.items():
             fills, members, chunk = state[n_max]
             if not chunk:
-                # eval-mode tail flushes can leave a bucket empty; packing
-                # an empty chunk would crash, and consumers iterate the
-                # emitted dict's keys, so just omit the bucket
+                # eval-mode tail flushes can leave a bucket empty. Keep the
+                # emitted pytree structure identical across batches
+                # (consumers tree-stack batches, e.g. bench.py bench_force):
+                # pack one truncated template molecule, then mask it out.
+                tmpl = dict(self.data[0])
+                n = min(len(tmpl["z"]), n_max)
+                for k, v in list(tmpl.items()):
+                    if (k != "y" and np.ndim(v) >= 1
+                            and np.shape(v)[0] == len(self.data[0]["z"])):
+                        tmpl[k] = np.asarray(v)[:n]
+                b = self._packed([tmpl], G, n_max, self.max_per_slot,
+                                 slots=[[0]])
+                out[n_max] = b.replace(
+                    node_mask=np.zeros_like(b.node_mask),
+                    globals={**b.globals,
+                             "mol_mask": np.zeros_like(b.globals["mol_mask"])})
                 continue
             out[n_max] = self._packed(chunk, G, n_max, self.max_per_slot,
                                       slots=members)

@@ -38,11 +38,14 @@ from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
 from ..ops.pallas_triplet import fused_angle_product, fused_triplet_product
+from ..ops.pallas_triplet_basis import fused_basis_triplet
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
-                            expand_kj_raw, torsion_angles, triplet_geometry,
-                            triplet_kj_distances, triplets_to_edges)
+                            expand_kj_raw, nk_edge_distances,
+                            nk_gather_nodes, torsion_angles,
+                            triplet_geometry, triplet_kj_distances,
+                            triplets_to_edges)
 
 go2 = glorot_orthogonal(2.0)
 zeros = jax.nn.initializers.zeros
@@ -137,13 +140,25 @@ class InitBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, z, rbf, senders, receivers):
+    def __call__(self, z, rbf, senders, receivers, trip=None):
         x = nn.Embed(95, self.hidden_channels,
                      embedding_init=_uniform_sqrt3, dtype=self.dtype)(z)
         rbf0 = self.act(nn.Dense(self.hidden_channels,
                                  dtype=self.dtype)(rbf))
+        if trip is not None and trip.nk_nbr is not None:
+            # NK layout: x[senders] via the closed gather (scatter-free,
+            # re-differentiable adjoint), x[receivers] as a broadcast
+            # (receivers = repeat(arange(N), K) there). Garbage rows at
+            # masked slots differ from the gather version — every
+            # consumer masks.
+            N, K = trip.nk_nbr.shape
+            xs = nk_gather_nodes(x, trip)
+            xr = jnp.broadcast_to(x[:, None, :],
+                                  (N, K, x.shape[-1])).reshape(N * K, -1)
+        else:
+            xs, xr = x[senders], x[receivers]
         e1 = self.act(nn.Dense(self.hidden_channels, dtype=self.dtype)(
-            jnp.concatenate([x[receivers], x[senders], rbf0], axis=-1)))
+            jnp.concatenate([xr, xs, rbf0], axis=-1)))
         e2 = nn.Dense(self.hidden_channels, use_bias=False,
                       kernel_init=go2, dtype=self.dtype)(rbf) * e1
         return e1, e2
@@ -170,9 +185,14 @@ class UpdateE(nn.Module):
     pallas_basis_grads: bool = True  # False: skip the (lane-padded) basis
     # cotangent outputs in the fused kernel's backward — valid ONLY for
     # energy-only training (no dE/dpos in the loss)
+    fuse_basis: bool = False  # evaluate the basis tables IN the kernel
+    # from scalar geometry (ops/pallas_triplet_basis.py): sbf/tbf never
+    # reach HBM; exact to second order (force training)
+    num_spherical: int = 7  # static basis config for fuse_basis
+    num_radial: int = 6
 
     @nn.compact
-    def __call__(self, e1, rbf0, sbf, tbf, trip: Triplets):
+    def __call__(self, e1, rbf0, sbf, tbf, trip: Triplets, geom=None):
         D = lambda f, b=False: nn.Dense(f, use_bias=b, kernel_init=go2,
                                         dtype=self.dtype)
         x_ji = self.act(nn.Dense(self.hidden_channels, kernel_init=go2,
@@ -193,19 +213,31 @@ class UpdateE(nn.Module):
             # [T]-sized intermediate; module order matches the unfused
             # branch so parameters are interchangeable
             cdt = self.dtype or jnp.float32
-            ws1 = D(self.basis_emb_size_angle)(
-                jnp.eye(sbf.shape[-1], dtype=cdt))
+            ns, nr = self.num_spherical, self.num_radial
+            s_dim = sbf.shape[-1] if sbf is not None else ns * nr
+            ws1 = D(self.basis_emb_size_angle)(jnp.eye(s_dim, dtype=cdt))
             ws2 = D(self.int_emb_size)(
                 jnp.eye(self.basis_emb_size_angle, dtype=cdt))
             if self.use_torsion:
+                t_dim = (tbf.shape[-1] if tbf is not None
+                         else ns * ns * nr)
                 wt1 = D(self.basis_emb_size_torsion)(
-                    jnp.eye(tbf.shape[-1], dtype=cdt))
+                    jnp.eye(t_dim, dtype=cdt))
                 wt2 = D(self.int_emb_size)(
                     jnp.eye(self.basis_emb_size_torsion, dtype=cdt))
             xg = expand_kj_raw(x_kj, trip)  # kernel applies the mask
             K = trip.nk_nbr.shape[1]
             m2d = trip.mask.reshape(-1, K).astype(cdt)
-            if self.use_torsion:
+            if self.fuse_basis:
+                th2, ph2, dk2 = geom
+                cfg = (ns, nr, self.use_torsion,
+                       "bf16" if cdt == jnp.bfloat16 else "f32")
+                wt = (wt1 @ wt2 if self.use_torsion
+                      else jnp.zeros((1, self.int_emb_size), cdt))
+                x_kj = fused_basis_triplet(
+                    xg, th2, ph2 if ph2 is not None else th2, dk2,
+                    ws1 @ ws2, wt, m2d, K, 64, cfg)
+            elif self.use_torsion:
                 x_kj = fused_triplet_product(
                     xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, m2d, K,
                     basis_grads=self.pallas_basis_grads)
@@ -312,12 +344,18 @@ class _SphericalMPNN(nn.Module):
     # triplet-path [T, int_emb] tensors dominate HBM traffic, so recomputing
     # them beats storing them on this HBM-bound step (jax.checkpoint)
     pallas_triplet: bool = False  # fuse the triplet basis-product +
-    # reduction in one Pallas kernel (ops/pallas_triplet.py; NK layout +
-    # torsion only — falls back to the XLA chain otherwise). FIRST-ORDER
-    # only: energy+force training differentiates the energy twice, which
-    # a custom_vjp cannot — keep False for energy_and_force runs.
+    # reduction in one Pallas kernel (ops/pallas_triplet.py; NK layout
+    # only — falls back to the XLA chain otherwise). With
+    # pallas_basis_grads=True the kernel's VJP is itself differentiable
+    # (second-order kernel), so energy+force training runs fused.
     pallas_basis_grads: bool = True  # see UpdateE.pallas_basis_grads; set
-    # False only for energy-only training
+    # False ONLY for energy-only training: it elides the basis cotangents,
+    # so any dE/dpos silently drops the basis->position path (the trainer
+    # rejects energy_and_force with this flag off)
+    pallas_fuse_basis: bool = False  # with pallas_triplet: evaluate the
+    # basis tables inside the kernel from scalar geometry
+    # (ops/pallas_triplet_basis.py) — no [T, S] basis tensor in HBM, exact
+    # to second order; the preferred layout for energy+force training
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -336,8 +374,10 @@ class _SphericalMPNN(nn.Module):
                                       self.cutoff, self.nk_degree)
             senders, receivers, edge_mask = (nkg.senders, nkg.receivers,
                                              nkg.edge_mask)
-            dist = edge_distances(pos, senders, receivers, edge_mask)
             trip = build_triplets_nk(nkg)
+            # dist via the closed frame table, not pos[senders]: that
+            # gather's transpose is a scatter-add under dE/dpos
+            dist = nk_edge_distances(pos, trip)
         else:
             senders, receivers, edge_mask = radius_graph_flat(
                 pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges)
@@ -348,27 +388,43 @@ class _SphericalMPNN(nn.Module):
 
         rbf0 = DistEmb(self.num_radial, self.cutoff,
                        self.envelope_exponent)(dist)
-        # one shared bessel evaluation on triplet rows (see AngleEmb note);
-        # the kj distance comes from the triplet frame table, not a gather
         dist_kj = triplet_kj_distances(pos, trip)
-        rbf_kj = bessel_table(self.num_spherical, self.num_radial,
-                              dist_kj / self.cutoff)
-        sbf = AngleEmb(self.num_spherical, self.num_radial,
-                       self.cutoff)(dist, angle, trip.idx_kj, rbf_kj=rbf_kj)
-        if self.use_torsion:
-            phi = torsion_angles(pos, trip)
-            tbf = TorsionEmb(self.num_spherical, self.num_radial,
-                             self.cutoff)(dist, angle, phi, trip.idx_kj,
-                                          rbf_kj=rbf_kj)
+        fuse_basis = (self.pallas_fuse_basis and self.pallas_triplet
+                      and trip.nk_nbr is not None)
+        geom = None
+        if fuse_basis:
+            # basis tables evaluated inside the fused kernel from scalar
+            # geometry — nothing [T, S]-sized is materialized
+            K = trip.nk_nbr.shape[1]
+            phi = torsion_angles(pos, trip) if self.use_torsion else None
+            geom = (angle.reshape(-1, K),
+                    phi.reshape(-1, K) if phi is not None else None,
+                    (dist_kj / self.cutoff).reshape(-1, K))
+            sbf = tbf = None
         else:
-            tbf = None
+            # one shared bessel evaluation on triplet rows (see AngleEmb
+            # note); the kj distance comes from the triplet frame table,
+            # not a gather
+            rbf_kj = bessel_table(self.num_spherical, self.num_radial,
+                                  dist_kj / self.cutoff)
+            sbf = AngleEmb(self.num_spherical, self.num_radial,
+                           self.cutoff)(dist, angle, trip.idx_kj,
+                                        rbf_kj=rbf_kj)
+            if self.use_torsion:
+                phi = torsion_angles(pos, trip)
+                tbf = TorsionEmb(self.num_spherical, self.num_radial,
+                                 self.cutoff)(dist, angle, phi,
+                                              trip.idx_kj, rbf_kj=rbf_kj)
+            else:
+                tbf = None
 
         dt = self.compute_dtype
         if dt is not None:
-            rbf0, sbf = rbf0.astype(dt), sbf.astype(dt)
+            rbf0 = rbf0.astype(dt)
+            sbf = None if sbf is None else sbf.astype(dt)
             tbf = None if tbf is None else tbf.astype(dt)
         e1, e2 = InitBlock(self.hidden_channels,
-                           dtype=dt)(z, rbf0, senders, receivers)
+                           dtype=dt)(z, rbf0, senders, receivers, trip=trip)
         v = UpdateV(self.hidden_channels, self.out_emb_channels,
                     self.out_channels, self.num_output_layers,
                     self.output_init, segment_eb=self.segment_eb,
@@ -391,7 +447,11 @@ class _SphericalMPNN(nn.Module):
                         dtype=dt,
                         pallas_triplet=self.pallas_triplet,
                         pallas_basis_grads=self.pallas_basis_grads,
-                        name=f"UpdateE_{li}")(e1, rbf0, sbf, tbf, trip)
+                        fuse_basis=fuse_basis,
+                        num_spherical=self.num_spherical,
+                        num_radial=self.num_radial,
+                        name=f"UpdateE_{li}")(e1, rbf0, sbf, tbf, trip,
+                                              geom=geom)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,
                         self.out_channels, self.num_output_layers,
                         self.output_init, segment_eb=self.segment_eb,

@@ -23,9 +23,11 @@ from .segment import (
 )
 from .scatter import gather, scatter_sum_edges, coalesce_mean
 from .radius import (radius_graph_flat, knn_graph_flat, radius_overflow,
-                     radius_graph_nk, radius_graph_nk_blocked)
-from .triplets import (build_triplets, build_triplets_nk, triplet_geometry,
-                       torsion_angles, triplet_kj_distances)
+                     radius_graph_nk, radius_graph_nk_blocked,
+                     radius_blocked_dropped)
+from .triplets import (build_triplets, build_triplets_nk, nk_edge_distances,
+                       nk_gather_nodes, triplet_geometry, torsion_angles,
+                       triplet_kj_distances)
 from .pbc import radius_graph_pbc_flat, pbc_overflow
 from .pallas_triplet import fused_angle_product, fused_triplet_product
 
@@ -35,8 +37,9 @@ __all__ = [
     "spmm_bidir_csr",
     "gather", "scatter_sum_edges", "coalesce_mean",
     "radius_graph_flat", "knn_graph_flat", "radius_overflow",
-    "radius_graph_nk", "radius_graph_nk_blocked",
-    "build_triplets", "build_triplets_nk", "triplet_geometry",
+    "radius_graph_nk", "radius_graph_nk_blocked", "radius_blocked_dropped",
+    "build_triplets", "build_triplets_nk", "nk_edge_distances",
+    "nk_gather_nodes", "triplet_geometry",
     "torsion_angles", "triplet_kj_distances",
     "radius_graph_pbc_flat", "pbc_overflow",
     "fused_angle_product", "fused_triplet_product",

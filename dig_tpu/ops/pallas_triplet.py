@@ -22,8 +22,16 @@ s / t / prod entirely in VMEM, and writes only the [E, C] reduction.
 Backward is one kernel producing all cotangents (d_xg, d_sbf[, d_tbf] and
 the weight grads accumulated in f32 across the sequential TPU grid) — the
 same recompute-instead-of-store trade, so training steps never park a
-[T, C] intermediate in HBM either. FIRST-ORDER only: energy+force
-training (grad-of-grad) must use the XLA chain.
+[T, C] intermediate in HBM either.
+
+SECOND ORDER (energy+force training, reference ``run.py:126``): with
+``basis_grads=True`` the backward itself is a custom_vjp op whose VJP is
+a third Pallas kernel (``_bwd2_kernel``). The op is multilinear —
+``out = reduce_K(m * x * (sbf@ws) * (tbf@wt))`` — so every second-order
+cotangent is again a sum of fused triplet products; reverse-over-reverse
+(``jax.grad`` of a loss containing ``-dE/dpos``) therefore runs fully
+fused. ``basis_grads=False`` stays first-order-only by construction
+(its d_sbf/d_tbf are symbolic zeros, wrong for any pos-grad use).
 
 Tail handling: T is padded to the tile size with zero rows host-side —
 zero xg rows contribute zero to the reduction AND to the weight-grad
@@ -126,6 +134,96 @@ def _bwd_kernel(*refs, K, has_t, basis_grads):
     dws_ref[...] += jnp.dot(sbf.T, gs, preferred_element_type=f32)
     if has_t:
         dwt_ref[...] += jnp.dot(tbf.T, gt, preferred_element_type=f32)
+
+
+def _bwd2_kernel(*refs, K, has_t):
+    """VJP of the backward kernel (second order, force training).
+
+    With ctb[e*K+k] = ct[e]*m[e,k], s = sbf@ws, t = tbf@wt the backward's
+    outputs are O1 = ctb*s*t (d_xg), O2 = (ctb*x*t)@ws^T (d_sbf),
+    O3 = (ctb*x*s)@wt^T (d_tbf), O4 = sbf^T@(ctb*x*t) (d_ws),
+    O5 = tbf^T@(ctb*x*s) (d_wt). Given their cotangents u1..u5, with
+    P := u2@ws + sbf@u4 and Q := u3@wt + tbf@u5:
+
+        x_bar   = ctb * (t*P + s*Q)
+        sbf_bar = A@ws^T + (ctb*x*t)@u4^T,  A := ctb*(t*u1 + x*Q)
+        tbf_bar = B@wt^T + (ctb*x*s)@u5^T,  B := ctb*(s*u1 + x*P)
+        ws_bar  = sbf^T@A + u2^T@(ctb*x*t)      (accumulated over tiles)
+        wt_bar  = tbf^T@B + u3^T@(ctb*x*s)
+        ct_bar  = reduce_K(m * (u1*s*t + x*(t*P + s*Q)))
+
+    The no-torsion case is the same algebra with t = 1, Q = 0.
+    Zero-padded tail rows (x, u1, u2, u3 and m all zero there) contribute
+    nothing to any output, including the accumulated weight cotangents.
+    """
+    f32 = jnp.float32
+    if has_t:
+        (xg_ref, sbf_ref, tbf_ref, ws_ref, wt_ref, m_ref, ct_ref,
+         u1_ref, u2_ref, u3_ref, u4_ref, u5_ref) = refs[:12]
+        xb_ref, sb_ref, tb_ref, wsb_ref, wtb_ref, ctb_ref = refs[12:]
+    else:
+        (xg_ref, sbf_ref, ws_ref, m_ref, ct_ref,
+         u1_ref, u2_ref, u4_ref) = refs[:8]
+        xb_ref, sb_ref, wsb_ref, ctb_ref = refs[8:]
+    x = xg_ref[...].astype(f32)                              # [TT, C]
+    TT, C = x.shape
+    sbf = sbf_ref[...].astype(f32)
+    ws = ws_ref[...].astype(f32)
+    u1 = u1_ref[...].astype(f32)
+    u2 = u2_ref[...].astype(f32)
+    u4 = u4_ref[...].astype(f32)
+    ct = ct_ref[...].astype(f32)                             # [TE, C]
+    m = m_ref[...].astype(f32)                               # [TE, K]
+    TE = TT // K
+    ctb = (jnp.broadcast_to(ct[:, None, :], (TE, K, C))
+           * m[:, :, None]).reshape(TT, C)
+    s = jnp.dot(sbf, ws, preferred_element_type=f32)
+    P = (jnp.dot(u2, ws, preferred_element_type=f32)
+         + jnp.dot(sbf, u4, preferred_element_type=f32))
+    if has_t:
+        tbf = tbf_ref[...].astype(f32)
+        wt = wt_ref[...].astype(f32)
+        u3 = u3_ref[...].astype(f32)
+        u5 = u5_ref[...].astype(f32)
+        t = jnp.dot(tbf, wt, preferred_element_type=f32)
+        Q = (jnp.dot(u3, wt, preferred_element_type=f32)
+             + jnp.dot(tbf, u5, preferred_element_type=f32))
+        g_s = ctb * x * s
+        g_t = ctb * x * t
+        core = t * P + s * Q
+        A = ctb * (t * u1 + x * Q)
+        B = ctb * (s * u1 + x * P)
+        tb_ref[...] = (jnp.dot(B, wt.T, preferred_element_type=f32)
+                       + jnp.dot(g_s, u5.T, preferred_element_type=f32)
+                       ).astype(tb_ref.dtype)
+        integ = u1 * s * t + x * core
+    else:
+        g_t = ctb * x
+        core = P
+        A = ctb * u1
+        integ = u1 * s + x * core
+    xb_ref[...] = (ctb * core).astype(xb_ref.dtype)
+    sb_ref[...] = (jnp.dot(A, ws.T, preferred_element_type=f32)
+                   + jnp.dot(g_t, u4.T, preferred_element_type=f32)
+                   ).astype(sb_ref.dtype)
+    ctb_ref[...] = jnp.sum(integ.reshape(TE, K, C) * m[:, :, None],
+                           axis=1).astype(ctb_ref.dtype)
+
+    p_ws = (jnp.dot(sbf.T, A, preferred_element_type=f32)
+            + jnp.dot(u2.T, g_t, preferred_element_type=f32))
+    if has_t:
+        p_wt = (jnp.dot(tbf.T, B, preferred_element_type=f32)
+                + jnp.dot(u3.T, g_s, preferred_element_type=f32))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        wsb_ref[...] = jnp.zeros_like(wsb_ref)
+        if has_t:
+            wtb_ref[...] = jnp.zeros_like(wtb_ref)
+
+    wsb_ref[...] += p_ws
+    if has_t:
+        wtb_ref[...] += p_wt
 
 
 def _pad_rows(x, rows):
@@ -236,6 +334,135 @@ def _run_bwd(xg, sbf, tbf, ws, wt, mask2d, ct, K, tile_e, basis_grads):
     return dxg, dsbf, dtbf, dws, dwt
 
 
+def _run_bwd2(xg, sbf, tbf, ws, wt, mask2d, ct, u1, u2, u3, u4, u5,
+              K, tile_e):
+    """Second-order pass: cotangents of the backward's inputs given
+    cotangents (u1..u5) of its outputs. One Pallas kernel (_bwd2_kernel)."""
+    has_t = tbf is not None
+    E = xg.shape[0] // K
+    C = xg.shape[1]
+    TT = tile_e * K
+    n_tiles = -(-E // tile_e)
+    Tp = n_tiles * TT
+    Ep = n_tiles * tile_e
+    S1 = sbf.shape[1]
+    ins = [_pad_rows(xg, Tp), _pad_rows(sbf, Tp)]
+    specs = [_row_spec(TT, C), _row_spec(TT, S1)]
+    if has_t:
+        S2 = tbf.shape[1]
+        ins.append(_pad_rows(tbf, Tp))
+        specs.append(_row_spec(TT, S2))
+    ins += [ws]
+    specs += [_full_spec(S1, C)]
+    if has_t:
+        ins.append(wt)
+        specs.append(_full_spec(S2, C))
+    ins += [_pad_rows(mask2d, Ep), _pad_rows(ct, Ep),
+            _pad_rows(u1, Tp), _pad_rows(u2, Tp)]
+    specs += [_row_spec(tile_e, K), _row_spec(tile_e, C),
+              _row_spec(TT, C), _row_spec(TT, S1)]
+    if has_t:
+        ins.append(_pad_rows(u3, Tp))
+        specs.append(_row_spec(TT, S2))
+    ins.append(u4)
+    specs.append(_full_spec(S1, C))
+    if has_t:
+        ins.append(u5)
+        specs.append(_full_spec(S2, C))
+
+    out_specs = [_row_spec(TT, C), _row_spec(TT, S1)]
+    out_shape = [jax.ShapeDtypeStruct((Tp, C), xg.dtype),
+                 jax.ShapeDtypeStruct((Tp, S1), sbf.dtype)]
+    if has_t:
+        out_specs.append(_row_spec(TT, S2))
+        out_shape.append(jax.ShapeDtypeStruct((Tp, S2), tbf.dtype))
+    out_specs.append(_full_spec(S1, C))
+    out_shape.append(jax.ShapeDtypeStruct((S1, C), jnp.float32))
+    if has_t:
+        out_specs.append(_full_spec(S2, C))
+        out_shape.append(jax.ShapeDtypeStruct((S2, C), jnp.float32))
+    out_specs.append(_row_spec(tile_e, C))
+    out_shape.append(jax.ShapeDtypeStruct((Ep, C), ct.dtype))
+    outs = pl.pallas_call(
+        functools.partial(_bwd2_kernel, K=K, has_t=has_t),
+        grid=(n_tiles,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=not _on_tpu(),
+    )(*ins)
+    T = E * K
+    i = 0
+    xb = outs[i][:T]; i += 1
+    sb = outs[i][:T]; i += 1
+    tb = None
+    if has_t:
+        tb = outs[i][:T]; i += 1
+    wsb = outs[i].astype(ws.dtype); i += 1
+    wtb = None
+    if has_t:
+        wtb = outs[i].astype(wt.dtype); i += 1
+    ctb = outs[i][:E]
+    return xb, sb, tb, wsb, wtb, ctb
+
+
+# The first-order backward wrapped as its own custom_vjp op: force
+# training (grad wrt params of a loss containing -dE/dpos) reverse-
+# differentiates the staged-out backward, which then hits _bwd2_kernel
+# instead of an opaque pallas_call. basis_grads=False keeps the plain
+# (non-differentiable) path — it is only licensed for energy-only runs.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _bwd_t_op(xg, sbf, tbf, ws, wt, mask2d, ct, K, tile_e):
+    return _run_bwd(xg, sbf, tbf, ws, wt, mask2d, ct, K, tile_e, True)
+
+
+def _bwd_t_op_fwd(xg, sbf, tbf, ws, wt, mask2d, ct, K, tile_e):
+    return (_bwd_t_op(xg, sbf, tbf, ws, wt, mask2d, ct, K, tile_e),
+            (xg, sbf, tbf, ws, wt, mask2d, ct))
+
+
+def _bwd_t_op_bwd(K, tile_e, res, cts):
+    xg, sbf, tbf, ws, wt, mask2d, ct = res
+    u1, u2, u3, u4, u5 = cts
+    # half tile: the second-order kernel holds ~2.5x the live VMEM of the
+    # first-order one (12 tiled operands + temps)
+    xb, sb, tb, wsb, wtb, ctb = _run_bwd2(
+        xg, sbf, tbf, ws, wt, mask2d, ct,
+        u1, u2, u3, u4.astype(jnp.float32), u5.astype(jnp.float32),
+        K, max(8, tile_e // 2))
+    return xb, sb, tb, wsb, wtb, None, ctb
+
+
+_bwd_t_op.defvjp(_bwd_t_op_fwd, _bwd_t_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _bwd_a_op(xg, sbf, ws, mask2d, ct, K, tile_e):
+    dxg, dsbf, _, dws, _ = _run_bwd(xg, sbf, None, ws, None, mask2d, ct,
+                                    K, tile_e, True)
+    return dxg, dsbf, dws
+
+
+def _bwd_a_op_fwd(xg, sbf, ws, mask2d, ct, K, tile_e):
+    return (_bwd_a_op(xg, sbf, ws, mask2d, ct, K, tile_e),
+            (xg, sbf, ws, mask2d, ct))
+
+
+def _bwd_a_op_bwd(K, tile_e, res, cts):
+    xg, sbf, ws, mask2d, ct = res
+    u1, u2, u4 = cts
+    xb, sb, _, wsb, _, ctb = _run_bwd2(
+        xg, sbf, None, ws, None, mask2d, ct,
+        u1, u2, None, u4.astype(jnp.float32), None, K,
+        max(8, tile_e // 2))
+    return xb, sb, wsb, None, ctb
+
+
+_bwd_a_op.defvjp(_bwd_a_op_fwd, _bwd_a_op_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_triplet_product(xg, sbf, tbf, ws, wt, mask2d, K: int,
                           tile_e: int = 128, basis_grads: bool = True):
@@ -247,24 +474,36 @@ def fused_triplet_product(xg, sbf, tbf, ws, wt, mask2d, K: int,
     callers may feed RAW unmasked gathers and skip their [T, C] where
     passes; the backward zeroes all cotangent rows at masked triplets,
     which also licenses expand_kj's mask-free adjoint). T = E * K.
-    Returns [E, C] in xg's dtype. First-order VJP (one backward kernel).
+    Returns [E, C] in xg's dtype. With ``basis_grads=True`` the VJP is
+    itself differentiable (one second-order kernel), so energy+force
+    training — grad wrt params of a loss containing -dE/dpos — runs fused
+    end to end.
 
     ``basis_grads=False`` returns SYMBOLIC ZEROS for d_sbf/d_tbf — only
     valid when the basis inputs never reach a differentiated variable
     (energy-only training: the basis depends on positions, not params).
+    It is also first-order only.
     """
     return _run_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e)
 
 
 def _ftp_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e, basis_grads):
-    return (_run_fwd(xg, sbf, tbf, ws, wt, mask2d, K, tile_e),
+    # recursive call (not _run_fwd): reverse-over-reverse linearizes this
+    # fwd rule, which must re-enter the custom_vjp rather than expose the
+    # raw pallas_call
+    return (fused_triplet_product(xg, sbf, tbf, ws, wt, mask2d, K, tile_e,
+                                  basis_grads),
             (xg, sbf, tbf, ws, wt, mask2d))
 
 
 def _ftp_bwd(K, tile_e, basis_grads, res, ct):
     xg, sbf, tbf, ws, wt, mask2d = res
-    dxg, dsbf, dtbf, dws, dwt = _run_bwd(xg, sbf, tbf, ws, wt, mask2d, ct,
-                                         K, tile_e, basis_grads)
+    if basis_grads:
+        dxg, dsbf, dtbf, dws, dwt = _bwd_t_op(xg, sbf, tbf, ws, wt,
+                                              mask2d, ct, K, tile_e)
+    else:
+        dxg, dsbf, dtbf, dws, dwt = _run_bwd(xg, sbf, tbf, ws, wt, mask2d,
+                                             ct, K, tile_e, basis_grads)
     return dxg, dsbf, dtbf, dws, dwt, None
 
 
@@ -280,14 +519,18 @@ def fused_angle_product(xg, sbf, ws, mask2d, K: int, tile_e: int = 128,
 
 
 def _fap_fwd(xg, sbf, ws, mask2d, K, tile_e, basis_grads):
-    return (_run_fwd(xg, sbf, None, ws, None, mask2d, K, tile_e),
+    return (fused_angle_product(xg, sbf, ws, mask2d, K, tile_e,
+                                basis_grads),
             (xg, sbf, ws, mask2d))
 
 
 def _fap_bwd(K, tile_e, basis_grads, res, ct):
     xg, sbf, ws, mask2d = res
-    dxg, dsbf, _, dws, _ = _run_bwd(xg, sbf, None, ws, None, mask2d, ct,
-                                    K, tile_e, basis_grads)
+    if basis_grads:
+        dxg, dsbf, dws = _bwd_a_op(xg, sbf, ws, mask2d, ct, K, tile_e)
+    else:
+        dxg, dsbf, _, dws, _ = _run_bwd(xg, sbf, None, ws, None, mask2d,
+                                        ct, K, tile_e, basis_grads)
     return dxg, dsbf, dws, None
 
 

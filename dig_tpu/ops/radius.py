@@ -167,6 +167,22 @@ def radius_overflow(pos: Array, node_graph: Array, node_mask: Array,
     return jnp.maximum(total - max_edges, 0)
 
 
+def radius_blocked_dropped(pos: Array, node_graph: Array, node_mask: Array,
+                           cutoff: float, block: int) -> Array:
+    """Number of real radius-graph pairs :func:`radius_graph_nk_blocked`
+    DROPS because they cross a block boundary (same graph, in cutoff,
+    different ``block``-slots). Nonzero means the batch is not
+    slot-aligned — a molecule straddles two blocks — and the blocked
+    builder is silently losing edges (the node_graph guard only prevents
+    *wrong* edges). jit-safe scalar, same contract as
+    :func:`radius_overflow`."""
+    N = pos.shape[0]
+    d2, valid = _pairwise_same_graph(pos, node_graph, node_mask)
+    blk = jnp.arange(N, dtype=jnp.int32) // block
+    cross = blk[:, None] != blk[None, :]
+    return jnp.sum(valid & cross & (d2 < cutoff * cutoff))
+
+
 def radius_graph_nk_blocked(pos: Array, node_mask: Array, cutoff: float,
                             k: int, block: int,
                             node_graph: Optional[Array] = None) -> NKGraph:

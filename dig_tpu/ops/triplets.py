@@ -216,6 +216,73 @@ def edges_to_nodes_nk(data: Array, num_nodes: int,
     return data.reshape(num_nodes, K, *data.shape[1:]).sum(axis=1)
 
 
+# Every expand op and its adjoint form a mutually-adjoint pair of LINEAR
+# gathers, each wrapped in custom_vjp with the OTHER as its bwd rule. This
+# closes the set under differentiation: force training (grad-of-grad,
+# reference run.py:126) re-differentiates the staged-out adjoints, and
+# without the closure XLA transposes the adjoint's gather into a
+# serialized scatter-add (measured 20+ ms/step at the bench shape).
+
+@jax.custom_vjp
+def _nk_nbr_gather(x, nbr, rev, in_mask):
+    """Closed node-table gather for the NK layout: ``x [N, C] ->
+    out [N, K, C]`` with ``out[n, d] = x[nbr[n, d]]`` (raw — garbage at
+    invalid slots, consumers mask).
+
+    The plain gather's transpose is an [N*K -> N] scatter-add; here the
+    adjoint is a gather over the reverse-edge table: the valid slots
+    pointing at node m are exactly ``unravel(rev[m, t])`` for valid t
+    (graph symmetrized), so ``dx[m] = sum_t in_mask[m,t] *
+    ct.reshape(E, C)[rev[m, t]]``. EXACT only when the consumer's
+    cotangent is zero at invalid slots — every geometry/basis consumer
+    masks (same contract as :func:`expand_kj_raw`). Closed under
+    differentiation (force training re-differentiates the adjoint)."""
+    return x[nbr]
+
+
+def _nk_nbr_gather_fwd(x, nbr, rev, in_mask):
+    return x[nbr], (nbr, rev, in_mask)
+
+
+def _nk_nbr_gather_bwd(res, ct):
+    nbr, rev, in_mask = res
+    return _nk_nbr_gather_adj(ct, nbr, rev, in_mask), None, None, None
+
+
+@jax.custom_vjp
+def _nk_nbr_gather_adj(ct, nbr, rev, in_mask):
+    N, K = nbr.shape
+    g = ct.reshape(N * K, -1)[rev]                     # [N, K, C]
+    g = jnp.where(in_mask[:, :, None], g, 0)
+    return g.sum(axis=1)                               # [N, C]
+
+
+def _nk_nbr_gather_adj_fwd(ct, nbr, rev, in_mask):
+    return _nk_nbr_gather_adj(ct, nbr, rev, in_mask), (nbr, rev, in_mask)
+
+
+def _nk_nbr_gather_adj_bwd(res, u):
+    # adjoint-of-adjoint = the raw forward gather (mask-free; licensed by
+    # the consumer contract above)
+    nbr, rev, in_mask = res
+    return _nk_nbr_gather(u, nbr, rev, in_mask), None, None, None
+
+
+_nk_nbr_gather.defvjp(_nk_nbr_gather_fwd, _nk_nbr_gather_bwd)
+_nk_nbr_gather_adj.defvjp(_nk_nbr_gather_adj_fwd, _nk_nbr_gather_adj_bwd)
+
+
+def nk_gather_nodes(x: Array, trip: Triplets) -> Array:
+    """Public closed gather: per-node rows ``x [N, C]`` to the edge table
+    ``[E, C]`` (E = N*K, row e = (i, d) holds ``x[nbr[i, d]]``) — the NK
+    replacement for ``x[senders]`` with a scatter-free, re-differentiable
+    adjoint (see :func:`_nk_nbr_gather`)."""
+    assert trip.nk_nbr is not None
+    N, K = trip.nk_nbr.shape
+    return _nk_nbr_gather(x, trip.nk_nbr, trip.nk_rev,
+                          trip.in_mask).reshape(N * K, -1)
+
+
 @jax.custom_vjp
 def _expand_kj(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
     return jnp.where(mask[:, None], x[idx_kj], 0)
@@ -223,18 +290,36 @@ def _expand_kj(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
 
 def _expand_kj_fwd(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
     return _expand_kj(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask), (
-        mask, kj_bwd_idx, kj_bwd_mask)
+        mask, idx_kj, kj_bwd_idx, kj_bwd_mask)
 
 
 def _expand_kj_bwd(res, ct):
-    mask, kj_bwd_idx, kj_bwd_mask = res
+    mask, idx_kj, kj_bwd_idx, kj_bwd_mask = res
+    return (_expand_kj_adj(ct, mask, idx_kj, kj_bwd_idx, kj_bwd_mask),
+            None, None, None, None)
+
+
+@jax.custom_vjp
+def _expand_kj_adj(ct, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
     ct = jnp.where(mask[:, None], ct, 0)
     g = ct[kj_bwd_idx]                                # [E, D, F]
     g = jnp.where(kj_bwd_mask[:, :, None], g, 0)
-    return (g.sum(axis=1), None, None, None, None)
+    return g.sum(axis=1)
+
+
+def _expand_kj_adj_fwd(ct, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
+    return _expand_kj_adj(ct, mask, idx_kj, kj_bwd_idx, kj_bwd_mask), (
+        mask, idx_kj, kj_bwd_idx, kj_bwd_mask)
+
+
+def _expand_kj_adj_bwd(res, u):
+    mask, idx_kj, kj_bwd_idx, kj_bwd_mask = res
+    return (_expand_kj(u, mask, idx_kj, kj_bwd_idx, kj_bwd_mask),
+            None, None, None, None)
 
 
 _expand_kj.defvjp(_expand_kj_fwd, _expand_kj_bwd)
+_expand_kj_adj.defvjp(_expand_kj_adj_fwd, _expand_kj_adj_bwd)
 
 
 @jax.custom_vjp
@@ -247,24 +332,42 @@ def _expand_kj_nk(x, mask, nk_nbr, nk_rev, in_mask):
 
 def _expand_kj_nk_fwd(x, mask, nk_nbr, nk_rev, in_mask):
     return _expand_kj_nk(x, mask, nk_nbr, nk_rev, in_mask), (
-        mask, nk_rev, in_mask)
+        mask, nk_nbr, nk_rev, in_mask)
 
 
 def _expand_kj_nk_bwd(res, ct):
+    mask, nk_nbr, nk_rev, in_mask = res
+    return (_expand_kj_nk_adj(ct, mask, nk_nbr, nk_rev, in_mask),
+            None, None, None, None)
+
+
+@jax.custom_vjp
+def _expand_kj_nk_adj(ct, mask, nk_nbr, nk_rev, in_mask):
     # dL/dx[j*K+dd] = sum over j's out-edges (i, d) of ct[(i*K+d)*K + dd]:
     # the out-edges of j are exactly rev_edge[j, :], so the adjoint is one
     # [K, C]-block gather by nk_rev plus a sum over the neighbor axis.
-    mask, nk_rev, in_mask = res
     N, K = nk_rev.shape
     C = ct.shape[-1]
     ct = jnp.where(mask[:, None], ct, 0)
     ctE = ct.reshape(N * K, K, C)
     g4 = ctE[nk_rev]                                  # [N, K(m), K(dd), C]
     g4 = jnp.where(in_mask[:, :, None, None], g4, 0)
-    return (g4.sum(axis=1).reshape(N * K, C), None, None, None, None)
+    return g4.sum(axis=1).reshape(N * K, C)
+
+
+def _expand_kj_nk_adj_fwd(ct, mask, nk_nbr, nk_rev, in_mask):
+    return _expand_kj_nk_adj(ct, mask, nk_nbr, nk_rev, in_mask), (
+        mask, nk_nbr, nk_rev, in_mask)
+
+
+def _expand_kj_nk_adj_bwd(res, u):
+    mask, nk_nbr, nk_rev, in_mask = res
+    return (_expand_kj_nk(u, mask, nk_nbr, nk_rev, in_mask),
+            None, None, None, None)
 
 
 _expand_kj_nk.defvjp(_expand_kj_nk_fwd, _expand_kj_nk_bwd)
+_expand_kj_nk_adj.defvjp(_expand_kj_nk_adj_fwd, _expand_kj_nk_adj_bwd)
 
 
 @jax.custom_vjp
@@ -274,20 +377,44 @@ def _expand_kj_nk_raw(x, nk_nbr, nk_rev, in_mask):
 
 
 def _expand_kj_nk_raw_fwd(x, nk_nbr, nk_rev, in_mask):
-    return _expand_kj_nk_raw(x, nk_nbr, nk_rev, in_mask), (nk_rev, in_mask)
+    return _expand_kj_nk_raw(x, nk_nbr, nk_rev, in_mask), (
+        nk_nbr, nk_rev, in_mask)
 
 
 def _expand_kj_nk_raw_bwd(res, ct):
-    nk_rev, in_mask = res
+    nk_nbr, nk_rev, in_mask = res
+    return (_expand_kj_nk_raw_adj(ct, nk_nbr, nk_rev, in_mask),
+            None, None, None)
+
+
+@jax.custom_vjp
+def _expand_kj_nk_raw_adj(ct, nk_nbr, nk_rev, in_mask):
     N, K = nk_rev.shape
     C = ct.shape[-1]
     ctE = ct.reshape(N * K, K, C)
     g4 = ctE[nk_rev]
     g4 = jnp.where(in_mask[:, :, None, None], g4, 0)
-    return (g4.sum(axis=1).reshape(N * K, C), None, None, None)
+    return g4.sum(axis=1).reshape(N * K, C)
+
+
+def _expand_kj_nk_raw_adj_fwd(ct, nk_nbr, nk_rev, in_mask):
+    return _expand_kj_nk_raw_adj(ct, nk_nbr, nk_rev, in_mask), (
+        nk_nbr, nk_rev, in_mask)
+
+
+def _expand_kj_nk_raw_adj_bwd(res, u):
+    # adjoint-of-adjoint = the raw forward gather. Mask-free like the
+    # forward: rows at invalid triplet slots are garbage, licensed by the
+    # same consumer contract as expand_kj_raw (the fused kernel masks
+    # every use of this cotangent with the triplet mask).
+    nk_nbr, nk_rev, in_mask = res
+    return (_expand_kj_nk_raw(u, nk_nbr, nk_rev, in_mask),
+            None, None, None)
 
 
 _expand_kj_nk_raw.defvjp(_expand_kj_nk_raw_fwd, _expand_kj_nk_raw_bwd)
+_expand_kj_nk_raw_adj.defvjp(_expand_kj_nk_raw_adj_fwd,
+                             _expand_kj_nk_raw_adj_bwd)
 
 
 def expand_kj_raw(x: Array, trip: Triplets) -> Array:
@@ -383,17 +510,22 @@ def _edge_frames(pos: Array, trip: Triplets):
     if trip.nk_nbr is not None:
         nbr = trip.nk_nbr                                  # [N, K]
         N, K = nbr.shape
-        pxn, pyn, pzn = px[nbr], py[nbr], pz[nbr]          # [N, K]
+        # one closed [N, 3]-row gather (scatter-free adjoint, closed under
+        # differentiation — force training re-differentiates this chain
+        # and a plain gather's transposed scatter-add was 8% of the step)
+        pn = _nk_nbr_gather(pos, nbr, trip.nk_rev, trip.in_mask)
+        pxn, pyn, pzn = pn[..., 0], pn[..., 1], pn[..., 2]  # [N, K]
         # ev[n, s] = pos[nbr[n, s]] - pos[n]  (vector n -> s-th neighbor)
         evx, evy, evz = (pxn - px[:, None], pyn - py[:, None],
                          pzn - pz[:, None])
         # edge e = (i, d): ji = pos[i] - pos[j] = -ev[i, d]
         jix, jiy, jiz = (-evx.reshape(-1), -evy.reshape(-1),
                          -evz.reshape(-1))                 # [E]
-        # jk[e=(i,d), s] = ev[j, s] — [K]-row block gather by nbr
-        jkx = evx[nbr].reshape(N * K, K)                   # [E, D]
-        jky = evy[nbr].reshape(N * K, K)
-        jkz = evz[nbr].reshape(N * K, K)
+        # jk[e=(i,d), s] = ev[j, s] — one closed [K, 3K]-row block gather
+        evcat = jnp.concatenate([evx, evy, evz], axis=1)   # [N, 3K]
+        g = _nk_nbr_gather(evcat, nbr, trip.nk_rev,
+                           trip.in_mask).reshape(N * K, 3 * K)
+        jkx, jky, jkz = g[:, :K], g[:, K:2 * K], g[:, 2 * K:]
         kn_tab = nbr
         nbr_mask = (trip.in_mask[nbr].reshape(N * K, K)
                     & trip.edge_mask[:, None])
@@ -407,6 +539,16 @@ def _edge_frames(pos: Array, trip: Triplets):
     jkz = kz_t[j] - pz[j][:, None]
     nbr_mask = trip.in_mask[j] & trip.edge_mask[:, None]           # [E, D]
     return (jix, jiy, jiz), (jkx, jky, jkz), kn_tab, nbr_mask
+
+
+def nk_edge_distances(pos: Array, trip: Triplets, eps: float = 1e-12) -> Array:
+    """Edge lengths [E] in the NK layout, from the same closed frame table
+    as :func:`triplet_geometry` (XLA CSEs the shared gather) — the NK
+    replacement for :func:`edge_distances`, whose ``pos[senders]`` gather
+    transposes to a scatter-add under dE/dpos. Masked rows hold 1.0."""
+    (jix, jiy, jiz), _, _, _ = _edge_frames(pos, trip)
+    d = jnp.sqrt(jnp.maximum(jix * jix + jiy * jiy + jiz * jiz, eps))
+    return jnp.where(trip.edge_mask, d, 1.0)
 
 
 def triplet_kj_distances(pos: Array, trip: Triplets,

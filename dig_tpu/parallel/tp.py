@@ -107,7 +107,13 @@ def make_tp_train_step(model, optimizer, mesh: Mesh, *,
         return e_sum, jnp.zeros(()), e_cnt, jnp.zeros(())
 
     def shard_fn(state: TrainState, g: GraphBatch):
-        _, _, e_cnt, f_cnt = local_loss(state.params, g)
+        # counts are pure mask reductions — computing them via local_loss
+        # would cost a full extra model forward per step
+        y = g.globals[target_key]
+        y_dim = 1 if y.ndim == 1 else y.shape[-1]
+        e_cnt = jnp.sum(g.graph_mask) * y_dim
+        f_cnt = (jnp.sum(g.node_mask) * 3 if energy_and_force
+                 else jnp.zeros(()))
         e_cnt_g = jnp.maximum(jax.lax.psum(e_cnt, data_axis), 1.0)
         f_cnt_g = jnp.maximum(jax.lax.psum(f_cnt, data_axis), 1.0)
 

@@ -62,6 +62,15 @@ def make_step_fns(model, optimizer, *, energy_and_force: bool = False,
     """
     err_fn = (lambda d: jnp.abs(d)) if loss == "l1" else (lambda d: d * d)
 
+    if energy_and_force and not getattr(model, "pallas_basis_grads", True):
+        # with basis cotangents elided, jax.grad wrt positions SILENTLY
+        # returns wrong forces (the basis->position path is dropped) —
+        # reject rather than train on garbage (ops/pallas_triplet.py)
+        raise ValueError(
+            "energy_and_force requires pallas_basis_grads=True: "
+            "pallas_basis_grads=False elides the basis cotangents, so "
+            "dE/dpos would silently drop the basis->position path")
+
     def compute_loss(params, g: GraphBatch):
         y = g.globals[target_key]
         if y.ndim == 1:
@@ -187,6 +196,7 @@ class Run3D:
         cutoff = getattr(model, "cutoff", None)
 
         max_edges = getattr(model, "max_edges", None)
+        block_size = getattr(model, "block_size", None)
 
         @jax.jit
         def count_edges(g: GraphBatch):
@@ -195,7 +205,15 @@ class Run3D:
                 g.nodes["pos"], g.node_graph, g.node_mask)
             return jnp.sum(valid & (d2 < cutoff * cutoff))
 
+        @jax.jit
+        def count_blocked_dropped(g: GraphBatch):
+            from ..ops.radius import radius_blocked_dropped
+            return radius_blocked_dropped(
+                g.nodes["pos"], g.node_graph, g.node_mask, cutoff,
+                block_size)
+
         overflow_warned = False
+        blocked_warned = False
         best_valid = float("inf")
         best_test = float("inf")
 
@@ -234,6 +252,19 @@ class Run3D:
                                   "overflow is dropped — raise max_edges",
                                   flush=True)
                             overflow_warned = True
+                        # blocked-builder drop accounting: cross-block
+                        # same-graph pairs vanish silently when the batch
+                        # is not slot-aligned (ops/radius.py)
+                        if block_size and not blocked_warned:
+                            n_drop = int(count_blocked_dropped(g))
+                            if n_drop:
+                                print(f"WARNING: {n_drop} radius pairs "
+                                      "cross block boundaries and are "
+                                      "DROPPED by the blocked builder — "
+                                      "feed slot-aligned batches "
+                                      f"(MoleculeLoader(slot_size="
+                                      f"{block_size}))", flush=True)
+                                blocked_warned = True
                 train_loss = float(np.mean(jax.device_get(losses)))
 
                 valid_mae = evaluate(state, eval_step, valid_loader,

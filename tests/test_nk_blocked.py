@@ -110,6 +110,27 @@ def test_spherenet_remat_matches():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_blocked_dropped_accounting():
+    """radius_blocked_dropped: 0 on slot-aligned batches, >0 (and equal to
+    the pairs the blocked builder actually loses) when a molecule
+    straddles a block boundary."""
+    from dig_tpu.ops.radius import radius_blocked_dropped
+    g = _slot_batch(6, 12, seed=5)
+    n0 = int(radius_blocked_dropped(g.nodes["pos"], g.node_graph,
+                                    g.node_mask, 5.0, 12))
+    assert n0 == 0
+    # break alignment: shift everything by half a block
+    pos = jnp.roll(g.nodes["pos"], 6, axis=0)
+    ng = jnp.roll(g.node_graph, 6, axis=0)
+    nm = jnp.roll(g.node_mask, 6, axis=0)
+    n1 = int(radius_blocked_dropped(pos, ng, nm, 5.0, 12))
+    assert n1 > 0
+    full = radius_graph_nk(pos, ng, nm, 5.0, 16)
+    blk = radius_graph_nk_blocked(pos, nm, 5.0, 16, 12, node_graph=ng)
+    lost = _edge_set(full) - _edge_set(blk)
+    assert n1 == len(lost)
+
+
 def test_slot_loader_layout():
     mols = synthetic_molecules(4, seed=0, min_atoms=3, max_atoms=7)
     g = next(iter(MoleculeLoader(mols, 4, slot_size=8)))
