@@ -56,6 +56,16 @@ def _median_time(fn, sync, trials=4):
     return float(np.median(ts))
 
 
+# Pinned roofline denominator: the HBM GB/s recorded in BENCH_r02.json
+# (2026-08-18). Per-run calibration still reported ("measured_hbm_gbps")
+# and used for "vs_baseline"; "vs_baseline_pinned" divides by THIS
+# constant so round-over-round deltas are real numbers, not calibration
+# noise (the tunnel's measured bandwidth fluctuates ~±20% run to run).
+# Change only with a dated note here.
+PINNED_HBM_GBPS = 144.5
+PINNED_TFLOPS = 62.7
+
+
 def calibrate(K: int = 20):
     """Measured matmul TFLOP/s (bf16) and HBM GB/s on this chip."""
     N = 4096
@@ -163,6 +173,88 @@ def bench_spherenet():
     dt = _median_time(run, lambda l: float(l[-1]), trials=3)
     return {"spherenet_nk_bf16_train_edges_per_s": round(edges / dt, 1),
             "spherenet_step_ms": round(dt / n_steps * 1e3, 3)}
+
+
+def bench_spherenet_force():
+    """The BASELINE.json flagship config: SphereNet energy+force training
+    (force = -dE/dpos inside the loss; reference double-autograd at
+    dig/threedgraph/method/run.py:126). Runs the fully fused layout:
+    second-order Pallas triplet kernels over the packed transposed basis
+    table (ops/pallas_triplet_pt.py — sbf/tbf assembled in VMEM, nothing
+    [T, S]-sized in HBM), closed-adjoint NK gathers (no scatter in the
+    double backward), and the argmin-recompute torsion path. Measured
+    ladder on this chip (G=96): round-2 XLA chain 219k -> +single-forward
+    loss & expand-op closure 277k -> +fused 2nd-order kernels 315k ->
+    +packed-basis kernels & closed gathers & torsion argmin 332k edges/s.
+    """
+    from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
+    from dig_tpu.models import SphereNet
+
+    G, n_steps = 96, 10
+    mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
+                               max_atoms=29, box=6.0)
+    rng = np.random.default_rng(0)
+    for m in mols:
+        m["force"] = rng.normal(size=m["pos"].shape).astype(np.float32)
+    loader = MoleculeLoader(mols, G, slot_size=29, shuffle=True, seed=0)
+    model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
+                      num_spherical=3, num_radial=6, nk_degree=16,
+                      block_size=29, compute_dtype=jnp.bfloat16,
+                      pallas_triplet=True, pallas_fuse_basis=True)
+    opt = optax.adam(5e-4)
+    it = iter(loader)
+    batches = [next(it) for _ in range(n_steps)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+    opt_state = opt.init(params)
+
+    def train_step(carry, b):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            def esum(pos):
+                g_ = b.replace(nodes={**b.nodes, "pos": pos})
+                e = model.apply(p, g_)[:, 0]
+                return jnp.sum(jnp.where(b.graph_mask, e, 0.0)), e
+
+            (_, e), gpos = jax.value_and_grad(esum, has_aux=True)(
+                b.nodes["pos"])
+            num = jnp.sum(jnp.abs(e - b.globals["y"][:, 0]) * b.graph_mask)
+            num += 100.0 * jnp.sum(jnp.abs(-gpos - b.nodes["force"])
+                                   * b.node_mask[:, None])
+            return num / jnp.maximum(jnp.sum(b.graph_mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def epoch(params, opt_state, stacked):
+        (params, opt_state), losses = jax.lax.scan(
+            train_step, (params, opt_state), stacked)
+        return params, opt_state, losses
+
+    edges = 0
+    for b in batches:
+        pos = np.asarray(b.nodes["pos"])
+        nm = np.asarray(b.node_mask)
+        ng = np.asarray(b.node_graph)
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        adj = ((d < 5.0) & ~np.eye(len(pos), dtype=bool)
+               & nm[:, None] & nm[None, :] & (ng[:, None] == ng[None, :]))
+        edges += int(adj.sum())
+
+    params, opt_state, losses = epoch(params, opt_state, stacked)
+    float(losses[-1])
+    state = [params, opt_state]
+
+    def run():
+        state[0], state[1], losses = epoch(state[0], state[1], stacked)
+        return losses
+
+    dt = _median_time(run, lambda l: float(l[-1]), trials=3)
+    return {"spherenet_force_train_edges_per_s": round(edges / dt, 1),
+            "spherenet_force_step_ms": round(dt / n_steps * 1e3, 3)}
 
 
 def bench_force():
@@ -317,6 +409,69 @@ def bench_lsgraph():
     return {"lsgraph_partitioned_train_edges_per_s": round(edges / dt, 1)}
 
 
+def bench_spmm_roofline(gbps: float):
+    """BASELINE.json graded target: "SpMM at >=70% of roofline". Measures
+    the CSR segment-sum kernel (ops/pallas_segment.py — the torch_scatter
+    / torch_sparse replacement) directly against the per-run calibrated
+    HBM bandwidth on lsgraph-shaped data (sorted CSR, power-law-ish
+    degrees from the METIS permutation). A segment sum must read every
+    edge row once and write every output row once; bytes counted are
+    exactly that traffic (data + seg ids + output), so the fraction is
+    conservative (DMA'd but unused window slack is not credited)."""
+    import numpy as _np
+    from dig_tpu.lsgraph import synthetic_large_graph
+    from dig_tpu.lsgraph.loader import metis_permute
+    from dig_tpu.ops.pallas_segment import (csr_block_overflow,
+                                            segment_sum_sorted_csr)
+
+    N, F = 60000, 128
+    data_g = synthetic_large_graph(N, seed=0, avg_deg=16)
+    s, r = data_g["senders"], data_g["receivers"]
+    # sort by destination row -> CSR (the layout the models feed)
+    order = _np.argsort(r, kind="stable")
+    seg = _np.asarray(r)[order].astype(_np.int32)
+    E = len(seg)
+    rowptr = _np.zeros(N + 1, _np.int32)
+    _np.add.at(rowptr, seg + 1, 1)
+    rowptr = _np.cumsum(rowptr).astype(_np.int32)
+    br = 32
+    need = int(max(rowptr[min(k + br, N)] - rowptr[k]
+                   for k in range(0, N, br)))
+    # +128: the kernel's DMA window starts 128-aligned, so a block keeps
+    # eb - (start % 128) of its own edges (see csr_block_overflow)
+    eb = -(-(need + 128) // 128) * 128
+    x = jnp.asarray(_np.random.default_rng(0).normal(
+        size=(E, F)).astype(_np.float32))
+    seg_j = jnp.asarray(seg)
+    rp_j = jnp.asarray(rowptr)
+    assert int(csr_block_overflow(rp_j, N, br, eb)) == 0
+
+    @jax.jit
+    def loop(x):
+        def body(acc, _):
+            out = segment_sum_sorted_csr(x, seg_j, rp_j, N, br, eb)
+            return acc + out[0, 0], ()
+        return jax.lax.scan(body, 0.0, None, length=8)[0]
+
+    float(loop(x))
+    dt = _median_time(lambda: loop(x), lambda o: float(o), trials=3) / 8
+    # useful bytes: every edge row + seg id read once, every output row
+    # written once — the algorithmic minimum
+    moved = E * F * 4 + E * 4 + N * F * 4
+    achieved = moved / dt / 1e9
+    # true DMA'd bytes: each block streams its full aligned window (eb
+    # rows), so slack from degree skew + 128-alignment is real traffic
+    # the kernel pays; this rate shows how close the kernel itself runs
+    # to the memory system's limit
+    nb = -(-N // br)
+    dma = nb * eb * (F * 4 + 4) + N * F * 4
+    return {"spmm_csr_achieved_gbps": round(achieved, 1),
+            "spmm_roofline_frac": round(achieved / gbps, 3),
+            "spmm_dma_gbps": round(dma / dt / 1e9, 1),
+            "spmm_dma_roofline_frac": round(dma / dt / 1e9 / gbps, 3),
+            "spmm_shape": f"N={N} E={E} F={F} br={br} eb={eb}"}
+
+
 def bench_ssl():
     """BASELINE config 2: GraphCL contrastive pretraining (3-layer GIN,
     dropN/maskN views, NT-Xent) — graphs/s through the jitted
@@ -418,7 +573,10 @@ def main():
     cutoff = 5.0
     n_steps = 50        # steps per on-device epoch
 
-    tflops, gbps = calibrate()
+    # median of 3 calibrations: single-shot tunnel measurements fluctuate
+    cals = [calibrate() for _ in range(3)]
+    tflops = float(np.median([c[0] for c in cals]))
+    gbps = float(np.median([c[1] for c in cals]))
 
     mols = synthetic_molecules(900 * (n_steps + 5), seed=0,
                                min_atoms=12, max_atoms=29, box=6.0)
@@ -483,14 +641,28 @@ def main():
 
     bytes_per_edge = 2 * hidden * 4 * num_layers
     roofline = gbps * 1e9 / bytes_per_edge
+    roofline_pinned = PINNED_HBM_GBPS * 1e9 / bytes_per_edge
+
+    # MFU of the headline step vs the measured matmul peak. Counted
+    # analytically (XLA's cost_analysis cannot see inside the Pallas
+    # custom-call): the dominant matmuls are the per-pair filter MLP
+    # (gauss 50 -> F -> F), fwd + backward ~= 3x fwd; node-level matmuls
+    # are O(N) and negligible next to O(pairs).
+    pair_rows = sum(G * n * n for n, G in slot_counts.items())
+    flops_step = 3 * num_layers * pair_rows * 2 * hidden * (50 + hidden)
+    mfu = flops_step * n_steps / dt / (tflops * 1e12)
 
     extras2 = {}
-    for fn in (bench_spherenet, bench_force, bench_lsgraph, bench_ssl,
-               bench_ggraph_gen, bench_xgraph):
+    for fn in (bench_spherenet, bench_spherenet_force, bench_force,
+               bench_lsgraph, bench_ssl, bench_ggraph_gen, bench_xgraph):
         try:
             extras2.update(fn())
         except Exception as e:  # secondary metrics never sink the primary
             extras2[fn.__name__ + "_error"] = str(e)[:200]
+    try:
+        extras2.update(bench_spmm_roofline(gbps))
+    except Exception as e:
+        extras2["bench_spmm_roofline_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "schnet_bucketed_pallas_train_edges_per_s_per_chip",
@@ -498,6 +670,9 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / roofline, 4),
         "extras": {
+            "vs_baseline_pinned": round(edges_per_s / roofline_pinned, 4),
+            "pinned_hbm_gbps": PINNED_HBM_GBPS,
+            "mfu_matmul_vs_measured_peak": round(mfu, 4),
             "measured_matmul_tflops": round(tflops, 1),
             "measured_hbm_gbps": round(gbps, 1),
             "roofline_edges_per_s": round(roofline, 1),

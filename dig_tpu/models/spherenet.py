@@ -38,7 +38,7 @@ from ..ops.basis import Envelope, bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
 from ..ops.pallas_triplet import fused_angle_product, fused_triplet_product
-from ..ops.pallas_triplet_basis import fused_basis_triplet
+from ..ops.pallas_triplet_pt import basis_pt, fused_triplet_pt
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
@@ -229,14 +229,13 @@ class UpdateE(nn.Module):
             K = trip.nk_nbr.shape[1]
             m2d = trip.mask.reshape(-1, K).astype(cdt)
             if self.fuse_basis:
-                th2, ph2, dk2 = geom
-                cfg = (ns, nr, self.use_torsion,
-                       "bf16" if cdt == jnp.bfloat16 else "f32")
+                # geom IS the packed transposed basis table [R, T], built
+                # once in _SphericalMPNN and shared by all layers
+                cfg = (ns, nr, self.use_torsion)
                 wt = (wt1 @ wt2 if self.use_torsion
                       else jnp.zeros((1, self.int_emb_size), cdt))
-                x_kj = fused_basis_triplet(
-                    xg, th2, ph2 if ph2 is not None else th2, dk2,
-                    ws1 @ ws2, wt, m2d, K, 64, cfg)
+                x_kj = fused_triplet_pt(xg, geom, ws1 @ ws2, wt, m2d,
+                                        K, 128, cfg)
             elif self.use_torsion:
                 x_kj = fused_triplet_product(
                     xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, m2d, K,
@@ -393,13 +392,16 @@ class _SphericalMPNN(nn.Module):
                       and trip.nk_nbr is not None)
         geom = None
         if fuse_basis:
-            # basis tables evaluated inside the fused kernel from scalar
-            # geometry — nothing [T, S]-sized is materialized
-            K = trip.nk_nbr.shape[1]
+            # packed transposed basis table [R, T] (ops/pallas_triplet_pt):
+            # nothing [T, S]-sized is materialized — the triplet axis is
+            # MINOR so the table stores dense (~8x less HBM than sbf+tbf),
+            # and the kernels assemble sbf/tbf in VMEM. Built once, shared
+            # by every interaction layer.
             phi = torsion_angles(pos, trip) if self.use_torsion else None
-            geom = (angle.reshape(-1, K),
-                    phi.reshape(-1, K) if phi is not None else None,
-                    (dist_kj / self.cutoff).reshape(-1, K))
+            geom = basis_pt(self.num_spherical, self.num_radial, angle,
+                            phi, dist_kj / self.cutoff, self.use_torsion)
+            if self.compute_dtype is not None:
+                geom = geom.astype(self.compute_dtype)
             sbf = tbf = None
         else:
             # one shared bessel evaluation on triplet rows (see AngleEmb

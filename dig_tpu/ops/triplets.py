@@ -590,6 +590,15 @@ def torsion_angles(pos: Array, trip: Triplets, eps: float = 1e-12) -> Array:
     P[e, s] = ji x (s-th in-neighbor of j), so the [E, D, D] dihedral grid
     is three outer products of [E, D] arrays — it fuses into the min-reduce
     with no T- or T*D-sized gathers anywhere.
+
+    AD structure: the [E, D, D] grid only SELECTS the reference neighbor —
+    the min's subgradient flows through exactly one candidate — so the
+    grid is evaluated under ``stop_gradient`` (argmin only) and the
+    dihedral is recomputed on the selected [E, D] candidates, gathered by
+    a one-hot einsum (no scatter in the adjoint, exact gradients a.e.; the
+    argmin index is piecewise-constant in pos). In force training the
+    grid's trig would otherwise be re-differentiated at every AD level —
+    it was the largest elementwise block of the double-backward step.
     """
     (jix, jiy, jiz), (jkx, jky, jkz), kn_tab, nbr_mask = _edge_frames(
         pos, trip)
@@ -601,30 +610,50 @@ def torsion_angles(pos: Array, trip: Triplets, eps: float = 1e-12) -> Array:
     p_y = jiz[:, None] * jkx - jix[:, None] * jkz
     p_z = jix[:, None] * jky - jiy[:, None] * jkx
 
+    cand_valid = nbr_mask & (kn_tab[j] != i[:, None])   # [E, D] over n
+
+    def dihedral(px_d, py_d, pz_d, px_n, py_n, pz_n, jx, jy, jz, dji):
+        # a = P_d . P_n; b = (P_d x P_n) . ji / |ji|
+        a = px_d * px_n + py_d * py_n + pz_d * pz_n
+        b = ((py_d * pz_n - pz_d * py_n) * jx
+             + (pz_d * px_n - px_d * pz_n) * jy
+             + (px_d * py_n - py_d * px_n) * jz) / dji
+        # Double-where: arctan2(0, 0) has a NaN gradient which leaks
+        # through a single jnp.where; sanitize BEFORE arctan2.
+        degenerate = (a * a + b * b) < eps
+        a = jnp.where(degenerate, 1.0, a)
+        b = jnp.where(degenerate, 0.0, b)
+        tors = jnp.arctan2(b, a)
+        # Reference remaps tors <= 0 to (0, 2*pi] (geometric_computing.py
+        # :74). Small epsilon: the k_n == k self-candidate has b == 0
+        # exactly in eager arithmetic (-> 2*pi in the reference) but XLA
+        # fusion can leave b ~ 1e-9, which would otherwise land on the
+        # wrong branch.
+        return jnp.where(tors <= 1e-6, tors + 2.0 * jnp.pi, tors)
+
     def outer(u, v):
         return u[:, :, None] * v[:, None, :]
 
-    # a[e, d, n] = P[e,d] . P[e,n]; b = (P[e,d] x P[e,n]) . ji / |ji|
-    a = outer(p_x, p_x) + outer(p_y, p_y) + outer(p_z, p_z)
-    b = ((outer(p_y, p_z) - outer(p_z, p_y)) * jix[:, None, None]
-         + (outer(p_z, p_x) - outer(p_x, p_z)) * jiy[:, None, None]
-         + (outer(p_x, p_y) - outer(p_y, p_x)) * jiz[:, None, None])
-    b = b / dist_ji[:, None, None]
+    # selection pass (no gradients): full [E, D, D] grid -> argmin index
+    sg = jax.lax.stop_gradient
+    gx, gy, gz = sg(p_x), sg(p_y), sg(p_z)
+    tors_grid = dihedral(
+        gx[:, :, None], gy[:, :, None], gz[:, :, None],
+        gx[:, None, :], gy[:, None, :], gz[:, None, :],
+        sg(jix)[:, None, None], sg(jiy)[:, None, None],
+        sg(jiz)[:, None, None], sg(dist_ji)[:, None, None])
+    tors_grid = jnp.where(cand_valid[:, None, :], tors_grid, 1e30)
+    n_star = jnp.argmin(tors_grid, axis=2)              # [E, D]
+    any_valid = jnp.min(tors_grid, axis=2) < 1e29
 
-    cand_valid = nbr_mask & (kn_tab[j] != i[:, None])   # [E, D] over n
-    # Double-where: arctan2(0, 0) has a NaN gradient which leaks through a
-    # single jnp.where; sanitize degenerate/padded inputs *before* arctan2.
-    degenerate = (a * a + b * b) < eps
-    a = jnp.where(degenerate, 1.0, a)
-    b = jnp.where(degenerate, 0.0, b)
-    tors = jnp.arctan2(b, a)
-    # Reference remaps tors <= 0 to (0, 2*pi] (geometric_computing.py:74).
-    # Use a small epsilon: the k_n == k self-candidate has b == 0 exactly in
-    # eager arithmetic (-> 2*pi in the reference) but XLA fusion can leave
-    # b ~ 1e-9, which would otherwise land on the wrong branch.
-    tors = jnp.where(tors <= 1e-6, tors + 2.0 * jnp.pi, tors)
-    tors = jnp.where(cand_valid[:, None, :], tors, 1e30)
-    out = jnp.min(tors, axis=2).reshape(-1)             # [E, D] -> [T]
+    # differentiable pass on the selected candidates only: one-hot einsum
+    # (contraction, not gather — its adjoint is the transposed einsum)
+    onehot = (jnp.arange(p_x.shape[1])[None, None, :]
+              == n_star[:, :, None]).astype(p_x.dtype)
+    sel = lambda t: jnp.einsum("eds,es->ed", onehot, t)
+    out = dihedral(p_x, p_y, p_z, sel(p_x), sel(p_y), sel(p_z),
+                   jix[:, None], jiy[:, None], jiz[:, None],
+                   dist_ji[:, None]).reshape(-1)        # [E, D] -> [T]
     # Empty candidate sets cannot occur for valid triplets (k itself is
     # always a candidate), but guard padding rows:
-    return jnp.where(trip.mask & (out < 1e29), out, 0.0)
+    return jnp.where(trip.mask & any_valid.reshape(-1), out, 0.0)

@@ -166,6 +166,42 @@ def ba_lrp(num_graphs: int = 200, num_nodes: int = 20, seed: int = 0):
     return graphs
 
 
+_CYCLE5 = [(i, (i + 1) % 5) for i in range(5)]
+
+
+def ba_2motifs(num_graphs: int = 200, base_n: int = 20, seed: int = 0):
+    """BA-2Motifs (reference ``ba_2motifs`` pickle: 25-node graphs, BA base
+    + house motif = class 0 / 5-cycle motif = class 1). Each dict carries
+    ``motif_edge_mask`` over its directed edge list — the ground truth the
+    benchmark's motif-recovery metric and the golden explainer tests
+    score against (the reference ships the same ground truth inside its
+    pickle)."""
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for k in range(num_graphs):
+        cls = k % 2
+        edges = _barabasi_albert(base_n, 1, rng)
+        motif = _HOUSE if cls == 0 else _CYCLE5
+        anchor = int(rng.integers(0, base_n))
+        n_before = len(edges)
+        edges, off = _attach_motif(edges, motif, base_n, 5, anchor, rng)
+        # motif edges = the appended motif body (not the anchor link)
+        is_motif = np.zeros(len(edges), bool)
+        is_motif[n_before:n_before + len(motif)] = True
+        s = np.array([a for a, b in edges] + [b for a, b in edges],
+                     np.int32)
+        r = np.array([b for a, b in edges] + [a for a, b in edges],
+                     np.int32)
+        n = base_n + 5
+        graphs.append({
+            "num_nodes": n, "senders": s, "receivers": r,
+            "x": np.ones((n, 10), np.float32), "y": cls,
+            "motif_nodes": list(range(off, off + 5)),
+            "motif_edge_mask": np.concatenate([is_motif, is_motif]),
+        })
+    return graphs
+
+
 def node_task_batch(data: Dict, n_node_pad: Optional[int] = None,
                     n_edge_pad: Optional[int] = None) -> GraphBatch:
     """Wrap a single node-classification graph as a one-graph batch."""

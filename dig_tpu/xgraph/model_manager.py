@@ -85,3 +85,42 @@ def train_gnn(model, dataset: Sequence[Dict], epochs: int = 30,
         with open(os.path.join(save_dir, "gnn_params.pkl"), "wb") as f:
             pickle.dump(jax.device_get(params), f)
     return params, acc
+
+
+def train_gnn_node(model, data: Dict, epochs: int = 300, lr: float = 1e-2,
+                   seed: int = 0, weight_decay: float = 0.0):
+    """Train a node-level zoo model on one planted-motif graph
+    (ba_shapes / tree_cycle / tree_grid — reference
+    benchmarks/xgraph/train_gnns.py node configs). Full-batch Adam with
+    class-balanced cross-entropy (the base class dominates ~4:1; without
+    balancing the model collapses to it). Returns (params, train_acc)."""
+    from .datasets import node_task_batch
+
+    g = node_task_batch(data)
+    y = jnp.asarray(np.asarray(data["y"]), jnp.int32)
+    n_cls = int(y.max()) + 1
+    counts = np.bincount(np.asarray(data["y"]), minlength=n_cls)
+    w = jnp.asarray((len(y) / np.maximum(counts, 1))[np.asarray(data["y"])],
+                    jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), g)
+    opt = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay
+           else optax.adam(lr))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, g, None)
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(ls * w) / jnp.sum(w)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(epochs):
+        params, opt_state, _ = step(params, opt_state)
+
+    logits = jax.jit(lambda p: model.apply(p, g, None))(params)
+    acc = float(np.mean(np.asarray(jnp.argmax(logits, -1)) ==
+                        np.asarray(y)))
+    return params, acc

@@ -1,5 +1,5 @@
-"""Fused basis+triplet kernel (ops/pallas_triplet_basis.py) vs two
-oracles: (a) the same math staged through XLA (fused_basis_triplet_ref),
+"""Packed-transposed-basis fused kernel (ops/pallas_triplet_pt.py) vs two
+oracles: (a) the same math staged through XLA (fused_triplet_pt_ref),
 (b) the model's real AngleEmb/TorsionEmb chain — catching both kernel
 harness bugs and basis-math drift. Covers forward, first-order VJP,
 second-order (force-training) grad-of-grad, and the model-level
@@ -10,8 +10,8 @@ import numpy as np
 import pytest
 
 from dig_tpu.ops.basis import bessel_table, sph_full_table, sph_m0_table
-from dig_tpu.ops.pallas_triplet_basis import (fused_basis_triplet,
-                                              fused_basis_triplet_ref)
+from dig_tpu.ops.pallas_triplet_pt import (basis_pt, fused_triplet_pt,
+                                           fused_triplet_pt_ref, pt_rows)
 
 NS, NR = 3, 4  # small static basis config (n*k = 12, n*n*k = 36)
 
@@ -20,9 +20,9 @@ def _inputs(E=40, K=4, C=16, seed=0, has_t=True):
     ks = jax.random.split(jax.random.PRNGKey(seed), 7)
     T = E * K
     xg = jax.random.normal(ks[0], (T, C))
-    th = jax.random.uniform(ks[1], (E, K), minval=0.1, maxval=3.0)
-    ph = jax.random.uniform(ks[2], (E, K), minval=-3.0, maxval=3.0)
-    dk = jax.random.uniform(ks[3], (E, K), minval=0.1, maxval=0.95)
+    th = jax.random.uniform(ks[1], (T,), minval=0.1, maxval=3.0)
+    ph = jax.random.uniform(ks[2], (T,), minval=-3.0, maxval=3.0)
+    dk = jax.random.uniform(ks[3], (T,), minval=0.1, maxval=0.95)
     ws = 0.3 * jax.random.normal(ks[4], (NS * NR, C))
     wt = (0.3 * jax.random.normal(ks[5], (NS * NS * NR, C)) if has_t
           else jnp.zeros((1, C)))
@@ -32,13 +32,12 @@ def _inputs(E=40, K=4, C=16, seed=0, has_t=True):
 
 def _chain_oracle(xg, th, ph, dk, ws, wt, m2d, K, has_t):
     """The model's materialized basis chain (AngleEmb/TorsionEmb math)."""
-    E = th.shape[0]
-    thf, dkf = th.reshape(-1), dk.reshape(-1)
-    rbf = bessel_table(NS, NR, dkf)                       # [T, n, k]
-    sbf = (rbf * sph_m0_table(NS, thf)[:, :, None]).reshape(E * K, -1)
+    E = m2d.shape[0]
+    rbf = bessel_table(NS, NR, dk)                        # [T, n, k]
+    sbf = (rbf * sph_m0_table(NS, th)[:, :, None]).reshape(E * K, -1)
     prod = xg * (sbf @ ws)
     if has_t:
-        cbf = sph_full_table(NS, thf, ph.reshape(-1)).reshape(-1, NS, NS)
+        cbf = sph_full_table(NS, th, ph).reshape(-1, NS, NS)
         tbf = (cbf[:, :, :, None] * rbf[:, None, :, :]).reshape(E * K, -1)
         prod = prod * (tbf @ wt)
     return jnp.sum(prod.reshape(E, K, -1) * m2d[:, :, None], axis=1)
@@ -47,8 +46,10 @@ def _chain_oracle(xg, th, ph, dk, ws, wt, m2d, K, has_t):
 @pytest.mark.parametrize("has_t", [True, False])
 def test_fwd_matches_chain_oracle(has_t):
     xg, th, ph, dk, ws, wt, m2d = _inputs(has_t=has_t)
-    cfg = (NS, NR, has_t, "f32")
-    out = fused_basis_triplet(xg, th, ph, dk, ws, wt, m2d, 4, 16, cfg)
+    cfg = (NS, NR, has_t)
+    pt = basis_pt(NS, NR, th, ph, dk, has_t)
+    assert pt.shape[0] == pt_rows(NS, NR, has_t)
+    out = fused_triplet_pt(xg, pt, ws, wt, m2d, 4, 16, cfg)
     ref = _chain_oracle(xg, th, ph, dk, ws, wt, m2d, 4, has_t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
@@ -56,43 +57,50 @@ def test_fwd_matches_chain_oracle(has_t):
 
 def test_fwd_ragged_tail_matches_ref():
     xg, th, ph, dk, ws, wt, m2d = _inputs(E=37, seed=1)
-    cfg = (NS, NR, True, "f32")
-    out = fused_basis_triplet(xg, th, ph, dk, ws, wt, m2d, 4, 16, cfg)
-    ref = fused_basis_triplet_ref(xg, th, ph, dk, ws, wt, m2d, 4, cfg)
+    cfg = (NS, NR, True)
+    pt = basis_pt(NS, NR, th, ph, dk, True)
+    out = fused_triplet_pt(xg, pt, ws, wt, m2d, 4, 16, cfg)
+    ref = fused_triplet_pt_ref(xg, pt, ws, wt, m2d, 4, cfg)
     assert out.shape == (37, xg.shape[1])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
 
-def test_masked_slots_ignore_garbage_geometry():
-    """Masked slots may hold arbitrary (even 1/x-singular) geometry."""
+def test_masked_slots_ignored():
+    """pt values at masked slots must not affect the output, and their
+    cotangents must be zero (the kernel masks every contribution)."""
     xg, th, ph, dk, ws, wt, m2d = _inputs(seed=2)
-    bad_dk = jnp.where(m2d > 0, dk, 0.0)       # d=0 -> 1/x singular
-    bad_th = jnp.where(m2d > 0, th, jnp.nan)
-    cfg = (NS, NR, True, "f32")
-    out = fused_basis_triplet(xg, bad_th, ph, bad_dk, ws, wt, m2d,
-                              4, 16, cfg)
-    ref = _chain_oracle(xg, th, ph, dk, ws, wt, m2d, 4, True)
-    assert np.isfinite(np.asarray(out)).all()
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+    cfg = (NS, NR, True)
+    pt = basis_pt(NS, NR, th, ph, dk, True)
+    slot = ~(m2d.reshape(-1) > 0)
+    pt_bad = jnp.where(slot[None, :], 1e6, pt)
+    out = fused_triplet_pt(xg, pt, ws, wt, m2d, 4, 16, cfg)
+    out_bad = fused_triplet_pt(xg, pt_bad, ws, wt, m2d, 4, 16, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_bad),
+                               rtol=1e-5, atol=1e-5)
+    ct = jax.random.normal(jax.random.PRNGKey(9), out.shape)
+    dpt = jax.vjp(lambda p: fused_triplet_pt(xg, p, ws, wt, m2d, 4, 16,
+                                             cfg), pt)[1](ct)[0]
+    assert float(jnp.abs(dpt[:, slot]).max()) == 0.0
 
 
 @pytest.mark.parametrize("has_t", [True, False])
 def test_vjp_matches_chain_oracle(has_t):
     xg, th, ph, dk, ws, wt, m2d = _inputs(seed=3, has_t=has_t)
-    cfg = (NS, NR, has_t, "f32")
-    out = fused_basis_triplet(xg, th, ph, dk, ws, wt, m2d, 4, 16, cfg)
+    cfg = (NS, NR, has_t)
+
+    def fused(xg, th, ph, dk, ws, wt):
+        pt = basis_pt(NS, NR, th, ph, dk, has_t)
+        return fused_triplet_pt(xg, pt, ws, wt, m2d, 4, 16, cfg)
+
+    out = fused(xg, th, ph, dk, ws, wt)
     ct = jax.random.normal(jax.random.PRNGKey(9), out.shape)
-    g_f = jax.vjp(lambda *a: fused_basis_triplet(*a, m2d, 4, 16, cfg),
-                  xg, th, ph, dk, ws, wt)[1](ct)
+    g_f = jax.vjp(fused, xg, th, ph, dk, ws, wt)[1](ct)
     g_r = jax.vjp(lambda *a: _chain_oracle(*a, m2d, 4, has_t),
                   xg, th, ph, dk, ws, wt)[1](ct)
     names = ["dxg", "dth", "dph", "ddk", "dws", "dwt"]
     for name, a, b in zip(names, g_f, g_r):
-        if name == "dph" and not has_t:
-            continue  # ph unused without torsion; oracle gives 0, ok
-        if name == "dwt" and not has_t:
+        if name in ("dph", "dwt") and not has_t:
             continue
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4,
@@ -103,7 +111,7 @@ def test_second_order_force_training_grads():
     """grad-of-grad (energy+force training): inner grad wrt the scalar
     geometry (the pos-dependent inputs), outer grad wrt the weights."""
     xg, th, ph, dk, ws, wt, m2d = _inputs(E=24, K=4, C=8, seed=4)
-    cfg = (NS, NR, True, "f32")
+    cfg = (NS, NR, True)
     wdown = jax.random.normal(jax.random.PRNGKey(5), (xg.shape[1],))
 
     def make_loss(fused):
@@ -111,8 +119,8 @@ def test_second_order_force_training_grads():
             t, p, d = geom
             ws_, wt_ = weights
             if fused:
-                out = fused_basis_triplet(xg, t, p, d, ws_, wt_, m2d,
-                                          4, 8, cfg)
+                pt = basis_pt(NS, NR, t, p, d, True)
+                out = fused_triplet_pt(xg, pt, ws_, wt_, m2d, 4, 8, cfg)
             else:
                 out = _chain_oracle(xg, t, p, d, ws_, wt_, m2d, 4, True)
             return jnp.sum(out * wdown)
