@@ -409,6 +409,93 @@ def bench_lsgraph():
     return {"lsgraph_partitioned_train_edges_per_s": round(edges / dt, 1)}
 
 
+def _edge_count(batches, cutoff):
+    edges = 0
+    for b in batches:
+        pos = np.asarray(b.nodes["pos"])
+        nm = np.asarray(b.node_mask)
+        ng = np.asarray(b.node_graph)
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        adj = ((d < cutoff) & ~np.eye(len(pos), dtype=bool)
+               & nm[:, None] & nm[None, :] & (ng[:, None] == ng[None, :]))
+        edges += int(adj.sum())
+    return edges
+
+
+def _train_edges_per_s(model, batches, cutoff, n_steps):
+    opt = optax.adam(5e-4)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+    opt_state = opt.init(params)
+
+    def train_step(carry, b):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            e = model.apply(p, b)[:, 0]
+            return jnp.mean(jnp.abs(e - b.globals["y"][:, 0]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def epoch(params, opt_state, stacked):
+        (params, opt_state), losses = jax.lax.scan(
+            train_step, (params, opt_state), stacked)
+        return params, opt_state, losses
+
+    edges = _edge_count(batches, cutoff)
+    params, opt_state, losses = epoch(params, opt_state, stacked)
+    float(losses[-1])
+    state = [params, opt_state]
+
+    def run():
+        state[0], state[1], losses = epoch(state[0], state[1], stacked)
+        return losses
+
+    dt = _median_time(run, lambda l: float(l[-1]), trials=3)
+    return edges / dt
+
+
+def bench_pronet_comenet():
+    """Round-3 fast paths (VERDICT item 3): ProNet and ComENet on the NK
+    table layout (sort-free O(G*B^2) radius build, closed-adjoint
+    gathers, reshape-sum aggregation) + bf16 MXU matmuls. Measured ladder
+    on this chip: ComENet flat 938k -> NK 1.82M -> NK+bf16 2.29M edges/s;
+    ProNet (G=64 x 64-residue slots) flat 177k -> NK+bf16 804k."""
+    from dig_tpu.datasets import (MoleculeLoader, ProteinLoader,
+                                  synthetic_molecules, synthetic_proteins)
+    from dig_tpu.models import ComENet, ProNet
+
+    n_steps = 6
+    G, slot, cutoff = 96, 29, 5.0
+    mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
+                               max_atoms=29, box=6.0)
+    it = iter(MoleculeLoader(mols, G, slot_size=slot, shuffle=True,
+                             seed=0))
+    batches = [next(it) for _ in range(n_steps)]
+    com = ComENet(cutoff=cutoff, num_layers=4, hidden_channels=256,
+                  middle_channels=64, num_radial=3, num_spherical=2,
+                  nk_degree=16, block_size=slot,
+                  compute_dtype=jnp.bfloat16)
+    out = {"comenet_nk_bf16_train_edges_per_s": round(
+        _train_edges_per_s(com, batches, cutoff, n_steps), 1)}
+
+    Gp, slotp, cutp = 64, 64, 10.0
+    prots = synthetic_proteins(Gp * (n_steps + 1), seed=0, max_res=slotp)
+    itp = iter(ProteinLoader(prots, Gp, slot_size=slotp, shuffle=True,
+                             seed=0))
+    batches_p = [next(itp) for _ in range(n_steps)]
+    pro = ProNet(level="aminoacid", num_blocks=4, hidden_channels=128,
+                 mid_emb=64, cutoff=cutp, num_radial=6, num_spherical=2,
+                 nk_degree=16, block_size=slotp,
+                 compute_dtype=jnp.bfloat16)
+    out["pronet_nk_bf16_train_edges_per_s"] = round(
+        _train_edges_per_s(pro, batches_p, cutp, n_steps), 1)
+    return out
+
+
 def bench_spmm_roofline(gbps: float):
     """BASELINE.json graded target: "SpMM at >=70% of roofline". Measures
     the CSR segment-sum kernel (ops/pallas_segment.py — the torch_scatter
@@ -537,7 +624,8 @@ def bench_xgraph():
     (reference benchmarks/xgraph pipeline); explanations/s."""
     import time as _t
 
-    from benchmarks.xgraph.run_benchmark import DATASETS, make_explainer
+    from benchmarks.xgraph.run_benchmark import (GRAPH_DATASETS as DATASETS,
+                                                 make_explainer)
     from dig_tpu.datasets import GraphClsLoader
     from dig_tpu.xgraph.model_manager import load_model, train_gnn
 
@@ -654,7 +742,8 @@ def main():
 
     extras2 = {}
     for fn in (bench_spherenet, bench_spherenet_force, bench_force,
-               bench_lsgraph, bench_ssl, bench_ggraph_gen, bench_xgraph):
+               bench_pronet_comenet, bench_lsgraph, bench_ssl,
+               bench_ggraph_gen, bench_xgraph):
         try:
             extras2.update(fn())
         except Exception as e:  # secondary metrics never sink the primary

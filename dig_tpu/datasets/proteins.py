@@ -132,15 +132,26 @@ class ProteinLoader:
 
     def __init__(self, proteins, batch_size: int,
                  n_node_pad: Optional[int] = None, shuffle: bool = False,
-                 seed: int = 0, drop_last: Optional[bool] = None):
+                 seed: int = 0, drop_last: Optional[bool] = None,
+                 slot_size: Optional[int] = None):
         self.data = list(proteins)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
         self.drop_last = shuffle if drop_last is None else drop_last
-        max_res = max(len(p["z"]) for p in self.data)
-        self.n_node_pad = n_node_pad or batch_size * max_res
+        self.slot_size = slot_size
+        if slot_size is not None:
+            if (n_node_pad is not None
+                    and n_node_pad != batch_size * slot_size):
+                raise ValueError(
+                    f"n_node_pad={n_node_pad} conflicts with slot_size="
+                    f"{slot_size}")
+            n_node_pad = batch_size * slot_size
+        elif n_node_pad is None:
+            max_res = max(len(p["z"]) for p in self.data)
+            n_node_pad = batch_size * max_res
+        self.n_node_pad = n_node_pad
 
     def __len__(self):
         n = len(self.data)
@@ -168,4 +179,5 @@ class ProteinLoader:
                         np.asarray(p["y"], np.float32))},
                 })
             yield batch_np(graphs, self.n_node_pad, 1,
-                           num_graphs=self.batch_size)
+                           num_graphs=self.batch_size,
+                           slot_size=self.slot_size)

@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from ..graph import GraphBatch
 from ..ops import segment_argmin, segment_sum
 from ..ops.basis import bessel_table, sph_full_table, sph_m0_table
-from ..ops.radius import radius_graph_flat
-from ..ops.triplets import edge_distances
+from ..ops.radius import (radius_graph_flat, radius_graph_nk,
+                          radius_graph_nk_blocked)
+from ..ops.triplets import edge_distances, edges_to_nodes_nk, nk_gather
 
 xavier = jax.nn.initializers.glorot_uniform()
 zeros = jax.nn.initializers.zeros
@@ -59,9 +60,18 @@ class EdgeGraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, edge_weight,
-                 num_nodes):
-        msgs = x[senders] * edge_weight
-        agg = segment_sum(msgs, receivers, num_nodes, mask=edge_mask)
+                 num_nodes, nkg=None):
+        if nkg is not None:
+            # NK layout: sender gather via the closed reverse-table gather
+            # (scatter-free adjoint) and receiver aggregation as a dense
+            # reshape-sum — no scatter/segment op anywhere
+            N, K = nkg.nbr_idx.shape
+            xs = nk_gather(x, nkg.nbr_idx, nkg.rev_edge, nkg.nbr_mask)
+            msgs = xs * edge_weight
+            agg = edges_to_nodes_nk(msgs, N, mask=edge_mask)
+        else:
+            msgs = x[senders] * edge_weight
+            agg = segment_sum(msgs, receivers, num_nodes, mask=edge_mask)
         return (nn.Dense(self.out_dim, kernel_init=xavier,
                          dtype=self.dtype)(agg)
                 + nn.Dense(self.out_dim, use_bias=False,
@@ -101,27 +111,33 @@ class SimpleInteractionBlock(nn.Module):
     num_layers: int
     out_dim: int
 
+    dtype: Optional[jnp.dtype] = None
+
     @nn.compact
     def __call__(self, x, feature1, feature2, senders, receivers,
-                 edge_mask, g: GraphBatch):
+                 edge_mask, g: GraphBatch, nkg=None):
         N = g.num_nodes
-        x = swish(nn.Dense(self.hidden, kernel_init=xavier)(x))
-        f1 = TwoLayerLinear(self.middle, self.hidden)(feature1)
-        h1 = EdgeGraphConv(self.hidden)(x, senders, receivers, edge_mask,
-                                        f1, N)
-        h1 = swish(nn.Dense(self.hidden, kernel_init=xavier)(h1))
-        f2 = TwoLayerLinear(self.middle, self.hidden)(feature2)
-        h2 = EdgeGraphConv(self.hidden)(x, senders, receivers, edge_mask,
-                                        f2, N)
-        h2 = swish(nn.Dense(self.hidden, kernel_init=xavier)(h2))
-        h = nn.Dense(self.hidden, kernel_init=xavier)(
-            jnp.concatenate([h1, h2], axis=-1))
+        dt = self.dtype
+        D = lambda f: nn.Dense(f, kernel_init=xavier, dtype=dt)
+        x = swish(D(self.hidden)(x))
+        f1 = TwoLayerLinear(self.middle, self.hidden, dtype=dt)(feature1)
+        h1 = EdgeGraphConv(self.hidden, dtype=dt)(
+            x, senders, receivers, edge_mask, f1, N, nkg=nkg)
+        h1 = swish(D(self.hidden)(h1))
+        f2 = TwoLayerLinear(self.middle, self.hidden, dtype=dt)(feature2)
+        h2 = EdgeGraphConv(self.hidden, dtype=dt)(
+            x, senders, receivers, edge_mask, f2, N, nkg=nkg)
+        h2 = swish(D(self.hidden)(h2))
+        h = D(self.hidden)(jnp.concatenate([h1, h2], axis=-1))
         h = h + x
         for _ in range(self.num_layers):
-            h = swish(nn.Dense(self.hidden, kernel_init=xavier)(h)) + h
-        h = GraphNorm(self.hidden)(h, g.node_graph, g.node_mask,
-                                   g.num_graphs)
-        return nn.Dense(self.out_dim, kernel_init=xavier)(h)
+            h = swish(D(self.hidden)(h)) + h
+        # GraphNorm stays f32: per-graph variance in bf16 loses signal
+        h = GraphNorm(self.hidden)(h.astype(jnp.float32), g.node_graph,
+                                   g.node_mask, g.num_graphs)
+        if dt is not None:
+            h = h.astype(dt)
+        return nn.Dense(self.out_dim, kernel_init=xavier, dtype=dt)(h)
 
 
 class ComENet(nn.Module):
@@ -147,12 +163,78 @@ class ComENet(nn.Module):
     max_edges: int = 4096
     use_pbc: bool = False
     pbc_images: int = 1
+    nk_degree: int = 0   # >0: per-node nearest-K table layout — the TPU
+    # fast path (same ladder as SphereNet): sort-free graph build (with
+    # block_size: O(G*B^2) slot-aligned), per-row argmin frame selection
+    # instead of segment_argmin over E, closed-adjoint gathers, and
+    # reshape-sum aggregation. Not available with use_pbc.
+    block_size: int = 0  # with nk_degree: slot-aligned blocked radius
+    # build (loader must use MoleculeLoader(slot_size=block_size))
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16: MXU
+    # matmuls in bf16 (params, geometry, GraphNorm, readout stay f32)
 
     @nn.compact
     def __call__(self, g: GraphBatch):
         z = g.nodes["z"]
         pos = g.nodes["pos"]
         N = g.num_nodes
+
+        nkg = None
+        if self.nk_degree > 0 and not self.use_pbc:
+            if self.block_size > 0:
+                nkg = radius_graph_nk_blocked(
+                    pos, g.node_mask, self.cutoff, self.nk_degree,
+                    self.block_size, node_graph=g.node_graph)
+            else:
+                nkg = radius_graph_nk(pos, g.node_graph, g.node_mask,
+                                      self.cutoff, self.nk_degree)
+            senders, receivers, edge_mask = (nkg.senders, nkg.receivers,
+                                             nkg.edge_mask)
+            j, i = senders, receivers
+            K = self.nk_degree
+            # all edge vectors from ONE closed [N, 3]-row gather
+            pn = nk_gather(pos, nkg.nbr_idx, nkg.rev_edge,
+                           nkg.nbr_mask).reshape(N, K, 3)
+            ev = pn - pos[:, None, :]                       # [N, K, 3]
+            vecs = ev.reshape(N * K, 3)
+            d2d = jnp.sqrt(jnp.maximum(jnp.sum(ev * ev, -1), 1e-12))
+            dist = jnp.where(edge_mask, d2d.reshape(-1), 1.0)
+            # nearest / second-nearest slot per node: a per-row argmin
+            # over K lanes (the flat path needs two segment_argmins on E)
+            dsel = jnp.where(nkg.nbr_mask, d2d, jnp.inf)
+            slot0 = jnp.argmin(dsel, axis=1)                # [N]
+            oh0 = jax.nn.one_hot(slot0, K, dtype=pos.dtype)
+            dsel1 = jnp.where(oh0 > 0, jnp.inf, dsel)
+            slot1 = jnp.argmin(dsel1, axis=1)
+            oh1 = jax.nn.one_hot(slot1, K, dtype=pos.dtype)
+            # selected reference vectors per node (one-hot contraction:
+            # scatter-free adjoint, exact gradients through selection)
+            v0 = jnp.einsum("nk,nkc->nc", oh0, ev)          # [N, 3]
+            v1 = jnp.einsum("nk,nkc->nc", oh1, ev)
+            n0 = jnp.take_along_axis(nkg.nbr_idx, slot0[:, None],
+                                     axis=1)[:, 0]          # [N] int
+            # receiver-side refs broadcast; sender-side via ONE closed
+            # gather of the packed per-node table [v0 | v1 | n0]
+            tab = jnp.concatenate(
+                [v0, v1, n0[:, None].astype(pos.dtype)], axis=1)
+            gj = nk_gather(tab, nkg.nbr_idx, nkg.rev_edge, nkg.nbr_mask)
+            v0j, v1j = gj[:, :3], gj[:, 3:6]
+            n0j = gj[:, 6].astype(jnp.int32)
+            mask_iref = (n0[:, None] == nkg.nbr_idx).reshape(-1)
+            pos_in0 = jnp.broadcast_to(v0[:, None, :],
+                                       (N, K, 3)).reshape(-1, 3)
+            pos_in1 = jnp.broadcast_to(v1[:, None, :],
+                                       (N, K, 3)).reshape(-1, 3)
+            pos_iref = jnp.where(mask_iref[:, None], pos_in1, pos_in0)
+            mask_jref = n0j == i
+            # sender-grouped edges in the flat path orient their vector
+            # pos[j] - pos[ref]; ev is pos[ref] - pos[j] — negate
+            pos_jref_j = -jnp.where(mask_jref[:, None], v1j, v0j)
+            pos_ji = vecs
+            E = senders.shape[0]
+            return self._interact(g, z, pos_ji, pos_in0, pos_in1,
+                                  pos_iref, pos_jref_j, dist, senders,
+                                  receivers, edge_mask, E, nkg)
 
         if self.use_pbc:
             from ..ops.pbc import radius_graph_pbc_flat
@@ -197,7 +279,13 @@ class ComENet(nn.Module):
         pos_in1 = vecs[argmin1][i]
         pos_iref = vecs[idx_iref]
         pos_jref_j = vecs[idx_jref]
+        return self._interact(g, z, pos_ji, pos_in0, pos_in1, pos_iref,
+                              pos_jref_j, dist, senders, receivers,
+                              edge_mask, E, None)
 
+    def _interact(self, g, z, pos_ji, pos_in0, pos_in1, pos_iref,
+                  pos_jref_j, dist, senders, receivers, edge_mask, E,
+                  nkg):
         def _safe_atan2(b, a):
             deg = (a * a + b * b) < 1e-12
             a = jnp.where(deg, 1.0, a)
@@ -257,18 +345,24 @@ class ComENet(nn.Module):
         feature2 = (rbf * cbf_m0[:, :, None]).reshape(E, n * k)
         feature1 = jnp.where(edge_mask[:, None], feature1, 0.0)
         feature2 = jnp.where(edge_mask[:, None], feature2, 0.0)
+        dt = self.compute_dtype
+        if dt is not None:
+            feature1, feature2 = feature1.astype(dt), feature2.astype(dt)
 
         x = nn.Embed(95, self.hidden_channels,
                      embedding_init=jax.nn.initializers.uniform(
-                         scale=jnp.sqrt(3.0)))(z)
+                         scale=jnp.sqrt(3.0)), dtype=dt)(z)
         x = jnp.where(g.node_mask[:, None], x, 0.0)
         for _ in range(self.num_layers):
             x = SimpleInteractionBlock(
                 self.hidden_channels, self.middle_channels,
                 self.num_radial, self.num_spherical,
-                self.num_output_layers, self.hidden_channels)(
-                x, feature1, feature2, senders, receivers, edge_mask, g)
+                self.num_output_layers, self.hidden_channels,
+                dtype=dt)(
+                x, feature1, feature2, senders, receivers, edge_mask, g,
+                nkg=nkg)
             x = jnp.where(g.node_mask[:, None], x, 0.0)
+        x = x.astype(jnp.float32)
         for _ in range(self.num_output_layers):
             x = swish(nn.Dense(self.hidden_channels, kernel_init=xavier)(x))
         x = nn.Dense(self.out_channels, kernel_init=xavier)(x)

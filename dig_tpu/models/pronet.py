@@ -19,8 +19,9 @@ import numpy as np
 from ..graph import GraphBatch
 from ..ops import segment_sum
 from ..ops.basis import bessel_table, sph_full_table, sph_m0_table
-from ..ops.radius import radius_graph_flat
-from ..ops.triplets import edge_distances
+from ..ops.radius import (radius_graph_flat, radius_graph_nk,
+                          radius_graph_nk_blocked)
+from ..ops.triplets import edge_distances, nk_gather
 from .comenet import EdgeGraphConv, TwoLayerLinear, swish
 
 xavier = jax.nn.initializers.glorot_uniform()
@@ -55,7 +56,8 @@ class ProNetInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, x, feature0, feature1, pos_emb, senders, receivers,
-                 edge_mask, g: GraphBatch, deterministic: bool = True):
+                 edge_mask, g: GraphBatch, deterministic: bool = True,
+                 nkg=None):
         N = g.num_nodes
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         f0 = TwoLayerLinear(self.mid_emb, self.hidden, act=True,
@@ -67,13 +69,13 @@ class ProNetInteraction(nn.Module):
         h = swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(x))
         h0 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(
             EdgeGraphConv(self.hidden, dtype=self.dtype)(h, senders, receivers, edge_mask,
-                                       f0, N))))
+                                       f0, N, nkg=nkg))))
         h1 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(
             EdgeGraphConv(self.hidden, dtype=self.dtype)(h, senders, receivers, edge_mask,
-                                       f1, N))))
+                                       f1, N, nkg=nkg))))
         h2 = drop(swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(
             EdgeGraphConv(self.hidden, dtype=self.dtype)(h, senders, receivers, edge_mask,
-                                       f2, N))))
+                                       f2, N, nkg=nkg))))
         out = jnp.concatenate([h0, h1, h2], axis=-1)
         for li in range(self.num_layers):
             out = swish(nn.Dense(self.hidden, kernel_init=xavier, dtype=self.dtype)(out))
@@ -103,6 +105,12 @@ class ProNet(nn.Module):
     num_pos_emb: int = 16
     max_edges: int = 8192
     dropout: float = 0.0
+    nk_degree: int = 0   # >0: per-node nearest-K table layout (TPU fast
+    # path: sort-free graph build, closed-adjoint gathers, reshape-sum
+    # aggregation). Size >= max true degree or the graph is symmetrically
+    # truncated (see ops.radius.radius_graph_nk).
+    block_size: int = 0  # with nk_degree: slot-aligned O(G*B^2) radius
+    # build (loader must pad one protein per block of this many rows)
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16: run
     # the conv/filter matmuls on the MXU in bf16 (params, geometry, basis,
     # readout stay f32 — same policy as SphereNet.compute_dtype)
@@ -132,11 +140,52 @@ class ProNet(nn.Module):
                 jnp.concatenate(feats, -1))
         x = jnp.where(g.node_mask[:, None], x, 0.0)
 
-        senders, receivers, edge_mask = radius_graph_flat(
-            pos, g.node_graph, g.node_mask, self.cutoff, self.max_edges,
-            max_num_neighbors=self.max_num_neighbors)
-        j, i = senders, receivers
-        dist = edge_distances(pos, senders, receivers, edge_mask)
+        if self.nk_degree > 0:
+            # TPU fast path: per-node nearest-K table (sort-free build,
+            # O(G*B^2) with block_size), closed-adjoint gathers, and
+            # reshape-sum aggregation in EdgeGraphConv. All per-edge
+            # geometry factors through two closures: receiver-side values
+            # are broadcasts (receivers = repeat(arange(N), K)), sender-
+            # side values are ONE closed [N, C]-row gather.
+            if self.block_size > 0:
+                nkg = radius_graph_nk_blocked(
+                    pos, g.node_mask, self.cutoff, self.nk_degree,
+                    self.block_size, node_graph=g.node_graph)
+            else:
+                nkg = radius_graph_nk(pos, g.node_graph, g.node_mask,
+                                      self.cutoff, self.nk_degree)
+            senders, receivers, edge_mask = (nkg.senders, nkg.receivers,
+                                             nkg.edge_mask)
+            j, i = senders, receivers
+            K = self.nk_degree
+
+            def edge_of_node(t):   # t [N, C] -> [E, C] at the receiver
+                return jnp.broadcast_to(
+                    t[:, None, :], (N, K, t.shape[-1])).reshape(N * K, -1)
+
+            def edge_of_nbr(t):    # t [N, C] -> [E, C] at the sender
+                return nk_gather(t, nkg.nbr_idx, nkg.rev_edge,
+                                 nkg.nbr_mask)
+
+            ev = (edge_of_nbr(pos) - edge_of_node(pos))
+            dist = jnp.where(edge_mask,
+                             jnp.sqrt(jnp.maximum(
+                                 jnp.sum(ev * ev, -1), 1e-12)), 1.0)
+        else:
+            nkg = None
+            senders, receivers, edge_mask = radius_graph_flat(
+                pos, g.node_graph, g.node_mask, self.cutoff,
+                self.max_edges,
+                max_num_neighbors=self.max_num_neighbors)
+            j, i = senders, receivers
+            dist = edge_distances(pos, senders, receivers, edge_mask)
+
+            def edge_of_node(t):
+                return t[i]
+
+            def edge_of_nbr(t):
+                return t[j]
+
         E = senders.shape[0]
 
         # sequence-offset positional embedding (pronet.py pos_emb)
@@ -147,14 +196,16 @@ class ProNet(nn.Module):
         pos_emb = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], -1)
 
         # theta/phi from sequential reference residues (pronet.py:395-409)
-        refi0 = (i - 1) % N
-        refi1 = (i + 1) % N
-        v_ji = pos[j] - pos[i]
-        v_ref0 = pos[refi0] - pos[i]
+        # — per-node reference tables (rolls), broadcast/gathered per edge
+        rm1 = jnp.roll(pos, 1, axis=0) - pos    # pos[(n-1)%N] - pos[n]
+        rp1 = jnp.roll(pos, -1, axis=0) - pos   # pos[(n+1)%N] - pos[n]
+        v_ji = edge_of_nbr(pos) - edge_of_node(pos)
+        v_ref0 = edge_of_node(rm1)
+        v_b1 = edge_of_node(rp1)                # pos[refi1] - pos[i]
         a = jnp.sum(v_ji * v_ref0, -1)
         b = _cross_norm(jnp.cross(v_ji, v_ref0))
         theta = _safe_atan2(b, a)
-        plane1 = jnp.cross(v_ref0, pos[refi1] - pos[i])
+        plane1 = jnp.cross(v_ref0, v_b1)
         plane2 = jnp.cross(v_ref0, v_ji)
         a = jnp.sum(plane1 * plane2, -1)
         b = (jnp.sum(jnp.cross(plane1, plane2) * v_ref0, -1)
@@ -173,13 +224,16 @@ class ProNet(nn.Module):
             return (rbf * cbf[:, :, None]).reshape(E, n * k)
 
         if self.level == "aminoacid":
-            # tau between sequential planes (pronet.py:435-448)
-            refi = jnp.where(refi0 == j, refi1, refi0)
-            refj0 = (j - 1) % N
-            refj1 = (j + 1) % N
-            refj = jnp.where(refj0 == i, refj1, refj0)
-            p1 = jnp.cross(v_ji, pos[refi] - pos[i])
-            p2 = jnp.cross(v_ji, pos[refj] - pos[j])
+            # tau between sequential planes (pronet.py:435-448); the
+            # reference-residue choice (i±1 / j±1, avoiding the edge
+            # partner) selects between the two per-node roll vectors
+            c_i = ((i - 1) % N) == j
+            v_refi = jnp.where(c_i[:, None], v_b1, v_ref0)
+            gj = edge_of_nbr(jnp.concatenate([rm1, rp1], axis=1))
+            c_j = ((j - 1) % N) == i
+            v_refj = jnp.where(c_j[:, None], gj[:, 3:], gj[:, :3])
+            p1 = jnp.cross(v_ji, v_refi)
+            p2 = jnp.cross(v_ji, v_refj)
             a = jnp.sum(p1 * p2, -1)
             b = (jnp.sum(jnp.cross(p1, p2) * v_ji, -1)
                  / jnp.maximum(dist, 1e-9))
@@ -189,11 +243,13 @@ class ProNet(nn.Module):
             # backbone-frame Euler angles (pronet.py:411-433)
             pos_n = g.nodes["pos_n"]
             pos_c = g.nodes["pos_c"]
-            o1x = pos_n[i] - pos[i]
-            o1z = jnp.cross(o1x, jnp.cross(o1x, pos_c[i] - pos[i]))
+            o1x_n = pos_n - pos
+            o1z_n = jnp.cross(o1x_n, jnp.cross(o1x_n, pos_c - pos))
+            o1x = edge_of_node(o1x_n)
+            o1z = edge_of_node(o1z_n)
             o1zl = _cross_norm(o1z) + 1e-7
-            o2x = pos_n[j] - pos[j]
-            o2z = jnp.cross(o2x, jnp.cross(o2x, pos_c[j] - pos[j]))
+            o2 = edge_of_nbr(jnp.concatenate([o1x_n, o1z_n], axis=1))
+            o2x, o2z = o2[:, :3], o2[:, 3:]
             o2zl = _cross_norm(o2z) + 1e-7
             nvec = jnp.cross(o1z, o2z)
             angle1 = _safe_atan2(
@@ -220,7 +276,7 @@ class ProNet(nn.Module):
                                   self.int_emb_layers, self.dropout,
                                   dtype=self.compute_dtype)(
                 x, feature0, feature1, pos_emb, senders, receivers,
-                edge_mask, g, deterministic)
+                edge_mask, g, deterministic, nkg=nkg)
             x = x.astype(jnp.float32)
             x = jnp.where(g.node_mask[:, None], x, 0.0)
 

@@ -283,6 +283,14 @@ def nk_gather_nodes(x: Array, trip: Triplets) -> Array:
                           trip.in_mask).reshape(N * K, -1)
 
 
+def nk_gather(x: Array, nbr: Array, rev: Array, in_mask: Array) -> Array:
+    """Table-based form of :func:`nk_gather_nodes` for callers holding an
+    :class:`~dig_tpu.ops.radius.NKGraph` (nbr=nbr_idx, rev=rev_edge,
+    in_mask=nbr_mask) rather than a Triplets: ``x [N, C] -> [N*K, C]``."""
+    N, K = nbr.shape
+    return _nk_nbr_gather(x, nbr, rev, in_mask).reshape(N * K, -1)
+
+
 @jax.custom_vjp
 def _expand_kj(x, mask, idx_kj, kj_bwd_idx, kj_bwd_mask):
     return jnp.where(mask[:, None], x[idx_kj], 0)

@@ -40,13 +40,35 @@ def config_model(cfg: Dict):
 
 def train_gnn(model, dataset: Sequence[Dict], epochs: int = 30,
               batch_size: int = 32, lr: float = 5e-3, seed: int = 0,
-              save_dir: Optional[str] = None):
+              save_dir: Optional[str] = None, restarts: int = 3,
+              target_acc: float = 0.95):
     """Train a zoo model for explanation benchmarks
-    (benchmarks/xgraph/train_gnns.py). Returns (params, train_acc)."""
+    (benchmarks/xgraph/train_gnns.py). Returns (params, train_acc).
+
+    ``restarts``: constant-feature motif tasks are init-sensitive (the
+    same seed lands in different basins under different matmul precision
+    settings); retry with fresh seeds until ``target_acc``, keep best."""
+    best = None
+    for r in range(max(restarts, 1)):
+        out = _train_gnn_once(model, dataset, epochs, batch_size, lr,
+                              seed + 1000 * r, save_dir)
+        if best is None or out[1] > best[1]:
+            best = out
+        if best[1] >= target_acc:
+            break
+    return best
+
+
+def _train_gnn_once(model, dataset, epochs, batch_size, lr, seed,
+                    save_dir):
     loader = GraphClsLoader(dataset, batch_size, shuffle=True, seed=seed)
     g0 = next(iter(loader))
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), g0)
-    opt = optax.adam(lr)
+    # cosine decay to 0: constant-feature motif tasks (ba_2motifs/ba_lrp)
+    # plateau around 0.8 under flat lr but reach 1.0 train acc with a
+    # schedule (measured: loss 0.36 @ 800 steps -> 0.004 @ 1600)
+    opt = optax.adam(optax.cosine_decay_schedule(
+        lr, max(epochs * max(len(loader), 1), 1)))
     opt_state = opt.init(params)
 
     @jax.jit
@@ -88,7 +110,21 @@ def train_gnn(model, dataset: Sequence[Dict], epochs: int = 30,
 
 
 def train_gnn_node(model, data: Dict, epochs: int = 300, lr: float = 1e-2,
-                   seed: int = 0, weight_decay: float = 0.0):
+                   seed: int = 0, weight_decay: float = 0.0,
+                   restarts: int = 3, target_acc: float = 0.95):
+    best = None
+    for r in range(max(restarts, 1)):
+        out = _train_gnn_node_once(model, data, epochs, lr,
+                                   seed + 1000 * r, weight_decay)
+        if best is None or out[1] > best[1]:
+            best = out
+        if best[1] >= target_acc:
+            break
+    return best
+
+
+def _train_gnn_node_once(model, data: Dict, epochs: int, lr: float,
+                         seed: int, weight_decay: float):
     """Train a node-level zoo model on one planted-motif graph
     (ba_shapes / tree_cycle / tree_grid — reference
     benchmarks/xgraph/train_gnns.py node configs). Full-batch Adam with
@@ -103,8 +139,9 @@ def train_gnn_node(model, data: Dict, epochs: int = 300, lr: float = 1e-2,
     w = jnp.asarray((len(y) / np.maximum(counts, 1))[np.asarray(data["y"])],
                     jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), g)
-    opt = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay
-           else optax.adam(lr))
+    sched = optax.cosine_decay_schedule(lr, max(epochs, 1))
+    opt = (optax.adamw(sched, weight_decay=weight_decay) if weight_decay
+           else optax.adam(sched))
     opt_state = opt.init(params)
 
     @jax.jit

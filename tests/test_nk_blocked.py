@@ -131,6 +131,77 @@ def test_blocked_dropped_accounting():
     assert n1 == len(lost)
 
 
+def test_comenet_nk_matches_flat():
+    """ComENet NK fast path == flat path: forward AND force-style grads
+    (the frame selection via per-row argmin + one-hot contraction must
+    reproduce segment_argmin + gather selection exactly)."""
+    from dig_tpu.models.comenet import ComENet
+    g = _slot_batch(6, 12, seed=21)
+    kw = dict(cutoff=5.0, num_layers=2, hidden_channels=32,
+              middle_channels=16, num_radial=3, num_spherical=2)
+    m_flat = ComENet(**kw, max_edges=2048)
+    m_nk = ComENet(**kw, nk_degree=16, block_size=12)
+    params = m_flat.init(jax.random.PRNGKey(0), g)
+    e_flat = m_flat.apply(params, g)
+    e_nk = m_nk.apply(params, g)
+    np.testing.assert_allclose(np.asarray(e_flat), np.asarray(e_nk),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(mod, p):
+        def esum(pos):
+            g_ = g.replace(nodes={**g.nodes, "pos": pos})
+            e = mod.apply(p, g_)
+            return jnp.sum(jnp.where(g.graph_mask[:, None], e, 0.0))
+        gp = jax.grad(esum)(g.nodes["pos"])
+        return esum(g.nodes["pos"]) + jnp.sum(gp ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m_flat, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_nk, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3,
+            atol=5e-3 * max(1e-6, float(jnp.abs(b).max())))
+
+
+@pytest.mark.parametrize("level", ["aminoacid", "backbone"])
+def test_pronet_nk_matches_flat(level):
+    """ProNet NK fast path == flat path on the same slot-aligned batch
+    (sequential i±1 references are layout-global in both paths, so the
+    batch layout must match for parity): forward and force-style grads."""
+    from dig_tpu.datasets import ProteinLoader, synthetic_proteins
+    from dig_tpu.models import ProNet
+    prots = synthetic_proteins(4, seed=5, max_res=12)
+    g = next(iter(ProteinLoader(prots, 4, slot_size=12)))
+    kw = dict(level=level, num_blocks=2, hidden_channels=32, mid_emb=16,
+              cutoff=8.0, num_radial=3, num_spherical=2)
+    m_flat = ProNet(**kw, max_edges=4096, max_num_neighbors=16)
+    m_nk = ProNet(**kw, nk_degree=12, block_size=12)
+    params = m_flat.init(jax.random.PRNGKey(0), g)
+    e_flat = m_flat.apply(params, g)
+    e_nk = m_nk.apply(params, g)
+    np.testing.assert_allclose(np.asarray(e_flat), np.asarray(e_nk),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(mod, p):
+        def esum(pos):
+            g_ = g.replace(nodes={**g.nodes, "pos": pos})
+            e = mod.apply(p, g_)
+            return jnp.sum(jnp.where(g.graph_mask[:, None], e, 0.0))
+        gp = jax.grad(esum)(g.nodes["pos"])
+        return esum(g.nodes["pos"]) + jnp.sum(gp ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m_flat, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_nk, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3,
+            atol=5e-3 * max(1e-6, float(jnp.abs(b).max())))
+
+
 def test_slot_loader_layout():
     mols = synthetic_molecules(4, seed=0, min_atoms=3, max_atoms=7)
     g = next(iter(MoleculeLoader(mols, 4, slot_size=8)))
