@@ -191,12 +191,14 @@ class ExplainerShim:
     def control_sparsity(scores, sparsity):
         # exact top-k by index (threshold comparison keeps every tied
         # score — gradient explainers emit many exact zeros, which blew
-        # the measured sparsity)
+        # the measured sparsity). Emits +/-inf LOGITS: eval_related_pred
+        # sigmoids the mask, so 0/1 values would evaluate soft 0.5/0.73
+        # weightings instead of hard keep/drop.
         scores = np.asarray(scores, float)
         E = int(np.isfinite(scores).sum())
         k = max(1, int(round((1 - sparsity) * E)))
-        mask = np.zeros(len(scores), np.float32)
-        mask[np.argsort(-scores, kind="stable")[:k]] = 1.0
+        mask = np.full(len(scores), -np.inf, np.float32)
+        mask[np.argsort(-scores, kind="stable")[:k]] = np.inf
         return mask
 
 
@@ -209,8 +211,18 @@ def _shim(name):
     return _SHIMS["related"]
 
 
-def run_node(ex_name, ex, data, g, num_explain, sparsity, seed=0):
-    """Explain motif nodes on one node-classification graph."""
+def run_node(ex_name, ex, data, g, num_explain, sparsity, seed=0,
+             num_hops=3):
+    """Explain motif nodes on one node-classification graph.
+
+    Masks (and the random baseline) are restricted to the explained
+    node's ``num_hops``-neighborhood — the reference protocol
+    (base_explainer.py:82-106 extracts the k-hop subgraph before
+    explaining). Without the restriction, top-k/maskout masks over the
+    WHOLE graph destroy every node's neighborhood regardless of which
+    edges the explainer picked, and fidelity saturates identically for
+    all explainers (measured: fid == fid_inv == 1.0 for random too)."""
+    from dig_tpu.xgraph.base import k_hop_subgraph
     col = XCollector()
     recalls = []
     t0 = time.perf_counter()
@@ -224,15 +236,20 @@ def run_node(ex_name, ex, data, g, num_explain, sparsity, seed=0):
         label = int(data["y"][node])
         motif_eids = _node_motif_edges(data, motif)
         k = max(1, len(motif_eids))
+        _, khop_edges = k_hop_subgraph(node, num_hops, g.senders,
+                                       g.receivers, g.edge_mask,
+                                       g.num_nodes)
         if ex_name == "random":
             scores = _random_scores(g, seed + int(mi))
         elif ex_name == "gnnexplainer":
             scores, _ = ex.explain(g, target_label=label, node_idx=node)
         else:
             scores = ex.explain(g, target_label=label, node_idx=node)
+        scores = np.where(khop_edges, np.asarray(scores, float), -np.inf)
         mask = ExplainerShim.control_sparsity(scores, sparsity)
         related = _shim(ex_name).eval_related_pred(g, [mask, mask],
-                                                   node_idx=node)
+                                                   node_idx=node,
+                                                   domain=khop_edges)
         col.collect_data([mask], related, label=label)
         rec = _motif_recall(np.asarray(scores, float), g, motif_eids, k)
         if rec is not None:
@@ -306,8 +323,10 @@ def main():
             ncls = NUM_CLASSES.get(ds_name, 2)
             model = load_model(mname, model_level="node",
                                num_classes=ncls, **mkw)
+            # tree_grid needs the longer horizon: 500 epochs -> acc 0.87,
+            # 1000 -> 0.94 (>= the 0.9 benchmark floor)
             params, acc = train_gnn_node(model, data,
-                                         epochs=args.epochs // 4, lr=1e-2)
+                                         epochs=args.epochs // 2, lr=1e-2)
             print(f"[{ds_name}] trained {mname} (node): acc {acc:.3f}")
             g = node_task_batch(data)
             _SHIMS["related"] = GNN_GI(model, params)

@@ -41,7 +41,20 @@ class RandGenEvaluator:
                         pass
                 novel = [h for h in unique if h not in train_hashes]
                 results["novel_ratio"] = 100.0 * len(novel) / len(unique)
-        print("Valid Ratio: {:.2f}%".format(results["valid_ratio"]))
+        # validity/canonicalization come from the dig_tpu chem kernel, not
+        # RDKit — numbers are NOT directly comparable to the reference's
+        # RDKit-based ones (r2 VERDICT weak #6)
+        results["proxy"] = True
+        pure = input_dict.get("pure_valids")
+        if pure is not None:
+            # reference's harder no-resample flag (graphflow.py:58-229)
+            results["valid_no_resample_ratio"] = (
+                100.0 * sum(pure) / max(len(mols), 1))
+        print("Valid Ratio: {:.2f}% (chem-kernel proxy)".format(
+            results["valid_ratio"]))
+        if "valid_no_resample_ratio" in results:
+            print("Valid w/o resampling: {:.2f}%".format(
+                results["valid_no_resample_ratio"]))
         if "unique_ratio" in results:
             print("Unique Ratio: {:.2f}%".format(results["unique_ratio"]))
         if "novel_ratio" in results:
@@ -64,8 +77,10 @@ class PropOptEvaluator:
         top3 = [v for _, v in scored[:3]]
         while len(top3) < 3:
             top3.append(float("-inf"))
-        res = {1: top3[0], 2: top3[1], 3: top3[2]}
-        print(f"Top-3 {self.prop_name}: {top3}")
+        # plogp/QED are closed-form chem-kernel PROXIES (no RDKit); see
+        # environment.py docstrings — not comparable to reference values
+        res = {1: top3[0], 2: top3[1], 3: top3[2], "proxy": True}
+        print(f"Top-3 {self.prop_name} (proxy): {top3}")
         return res
 
 
@@ -100,4 +115,7 @@ class ConstPropOptEvaluator:
                                       "improvement": (mean, std)}
             print(f"sim >= {thr}: success {rate:.2f}%, "
                   f"improvement {mean:.2f} +/- {std:.2f}")
+        # similarity (Morgan-FP) is real; plogp improvement is the
+        # chem-kernel proxy (environment.py) — mark the dict accordingly
+        results["proxy"] = True
         return results

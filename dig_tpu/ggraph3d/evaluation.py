@@ -116,8 +116,11 @@ class PropOptEvaluator3D:
         scores = [penalized_logp(m) for m in mols if m.num_atoms > 0]
         if not scores:
             return {"mean": float("nan"), "best": float("nan"),
-                    "good_per": 0.0}
+                    "good_per": 0.0, "proxy": True}
         return {"mean": float(np.mean(scores)),
                 "best": float(np.max(scores)),
                 "good_per": 100.0 * float(np.mean(
-                    np.asarray(scores) > self.good_threshold))}
+                    np.asarray(scores) > self.good_threshold)),
+                # descriptor proxy, NOT a PySCF quantum property — values
+                # are not comparable to the reference's (metric.py:81-133)
+                "proxy": True}

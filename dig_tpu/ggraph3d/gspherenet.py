@@ -62,10 +62,6 @@ class SphereEncoder(nn.Module):
             h = h + jnp.where(g.node_mask[:, None], upd, 0.0)
         return h
 
-    def type_embedding(self, z):
-        # share the encoder's Embed table by name scope at apply time
-        raise NotImplementedError
-
 
 class MaskedMHA(nn.Module):
     """Multi-head attention of one query per step over its graph's nodes

@@ -87,9 +87,17 @@ class ExplainerBase:
         return out
 
     def eval_related_pred(self, g: GraphBatch, edge_masks: List[np.ndarray],
-                          node_idx: Optional[int] = None) -> List[Dict]:
+                          node_idx: Optional[int] = None,
+                          domain: Optional[np.ndarray] = None) -> List[Dict]:
         """For each class's hard edge mask produce origin / masked /
-        maskout / zero probabilities (base_explainer.py:259-302)."""
+        maskout / zero probabilities (base_explainer.py:259-302).
+
+        ``domain`` (bool [E], optional) restricts the evaluation to a
+        subgraph — edges outside it are absent from origin, masked AND
+        maskout alike. This is the reference's node-task protocol: it
+        extracts the k-hop subgraph around the explained node first
+        (base_explainer.py:82-106), so only neighborhood edges are ever
+        explanation candidates."""
         results = []
         E = g.num_edges
         row = 0 if node_idx is None else node_idx
@@ -99,6 +107,8 @@ class ExplainerBase:
         weights = jnp.stack(
             [jnp.ones(E)] + [w for m in ms for w in (m, 1.0 - m)]
             + [jnp.zeros(E)])
+        if domain is not None:
+            weights = weights * jnp.asarray(domain, jnp.float32)[None, :]
         probs = np.asarray(jax.nn.softmax(
             self._forward_many(self.params, g, weights), axis=-1))
         ori, zero = probs[0], probs[-1]
@@ -106,7 +116,13 @@ class ExplainerBase:
             masked = probs[1 + 2 * ex_label]
             maskout = probs[2 + 2 * ex_label]
             mask_np = np.asarray(mask)
-            finite_frac = float(np.mean(mask_np > 0)) if len(mask_np) else 0.0
+            if domain is not None:
+                dom = np.asarray(domain, bool)
+                finite_frac = (float(np.mean(mask_np[dom] > 0))
+                               if dom.any() else 0.0)
+            else:
+                finite_frac = (float(np.mean(mask_np > 0))
+                               if len(mask_np) else 0.0)
             results.append({
                 "origin": float(ori[row, ex_label]),
                 "masked": float(masked[row, ex_label]),

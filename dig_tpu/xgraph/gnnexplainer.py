@@ -18,10 +18,18 @@ import optax
 from ..graph import GraphBatch
 from .base import ExplainerBase
 
+# Deviation from the reference coefficients (edge_size 0.005 / edge_ent 1.0
+# / node_feat_size 1.0, dig/xgraph/method/gnnexplainer.py): with the
+# keep-init below, an entropy coefficient of 1.0 dominates the per-edge
+# gradient (|d ent/d logit| ~1e-3 vs size ~2e-4 at mask 0.95) and drives
+# EVERY mask to 1 before the CE term can differentiate edges — measured
+# motif recall 0.0 on ba_2motifs at train acc 1.0. At edge_ent 0.1 the size
+# penalty carves and CE protects important edges: recall 0.54 vs 0.09
+# random (grid search in reports/ROUND3 notes).
 _COEFFS = {
-    "edge_size": 0.005,
-    "node_feat_size": 1.0,
-    "edge_ent": 1.0,
+    "edge_size": 0.01,
+    "node_feat_size": 0.1,
+    "edge_ent": 0.1,
     "node_feat_ent": 0.1,
 }
 
@@ -95,9 +103,17 @@ class GNNExplainer(ExplainerBase):
 
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
-        # PyG init: N(1, 0.1)-ish scaled by feature size
-        e_mask0 = 0.1 * jax.random.normal(k1, (E,))
-        f_mask0 = 0.1 * jax.random.normal(k2, (F,))
+        # Keep-init: start both masks near 1 (logit +3 => sigmoid ~0.95)
+        # and carve edges away from the FULL graph. PyG's N(0, 0.1) init
+        # (mask ~0.5) halves every message at step 0, which puts the
+        # trained model far off-manifold — measured on ba_2motifs: the
+        # model then predicts one class with p~1.0 for everything and the
+        # CE gradient wrt edge masks is zero/pathological, so motif edges
+        # rank dead last (r2 VERDICT weak #2 root cause). Starting from
+        # the intact graph keeps the model on-distribution and the
+        # size/entropy penalties do the carving.
+        e_mask0 = 3.0 + 0.1 * jax.random.normal(k1, (E,))
+        f_mask0 = 3.0 + 0.1 * jax.random.normal(k2, (F,))
 
         masks, losses = self._run({"edge": e_mask0, "feat": f_mask0}, g,
                                   row, target_label, mask_features)

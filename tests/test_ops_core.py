@@ -380,3 +380,39 @@ def test_build_triplets_nk_matches_general():
     b = segment_sum(data, g.receivers, pos.shape[0], mask=g.edge_mask)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_coalesce_mean_vs_numpy_oracle():
+    """coalesce_mean: duplicate (s, r) groups carry the group mean, one
+    representative per group, masked rows zeroed/excluded (PyG coalesce
+    analog, static-shape contract)."""
+    import jax.numpy as jnp
+    from dig_tpu.ops import coalesce_mean
+
+    rng = np.random.default_rng(0)
+    E, N, F = 64, 7, 3
+    s = rng.integers(0, N, E).astype(np.int32)
+    r = rng.integers(0, N, E).astype(np.int32)
+    vals = rng.normal(size=(E, F)).astype(np.float32)
+    mask = rng.random(E) > 0.25
+
+    mean_vals, rep = jax.jit(
+        lambda v, a, b, m: coalesce_mean(v, a, b, N, m))(
+            jnp.asarray(vals), jnp.asarray(s), jnp.asarray(r),
+            jnp.asarray(mask))
+    mean_vals, rep = np.asarray(mean_vals), np.asarray(rep)
+
+    groups = {}
+    for i in range(E):
+        if mask[i]:
+            groups.setdefault((int(s[i]), int(r[i])), []).append(i)
+    # exactly one representative per distinct live pair
+    assert rep.sum() == len(groups)
+    assert not rep[~mask].any()
+    for key, idxs in groups.items():
+        want = vals[idxs].mean(axis=0)
+        for i in idxs:
+            np.testing.assert_allclose(mean_vals[i], want, rtol=1e-5,
+                                       atol=1e-6)
+        assert rep[idxs].sum() == 1
+    np.testing.assert_allclose(mean_vals[~mask], 0.0)

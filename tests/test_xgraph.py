@@ -226,6 +226,28 @@ def test_gradient_explainers_recover_planted_motif(trained_motif):
     assert float(np.mean(fids)) > 0.02, np.mean(fids)
 
 
+def test_gnnexplainer_recovers_planted_motif(trained_motif):
+    """The learned-mask explainer specifically (r2 VERDICT weak #2's
+    named failure): keep-init + carving coefficients must place motif
+    edges in the top-k at a multiple of the random baseline."""
+    data, model, params, _ = trained_motif
+    ex = GNNExplainer(model, params, epochs=100, lr=0.05,
+                      explain_graph=True)
+    rng = np.random.default_rng(0)
+    rec_ex, rec_rand = [], []
+    loader = GraphClsLoader(data[:6], 1)
+    for d, g in zip(data[:6], loader):
+        motif_ids = np.nonzero(d["motif_edge_mask"])[0].tolist()
+        k = len(motif_ids)
+        scores, _ = ex.explain(g, target_label=int(d["y"]))
+        rec_ex.append(_topk_recall(scores, g, motif_ids, k))
+        rnd = np.where(np.asarray(g.edge_mask),
+                       rng.normal(size=g.num_edges), -np.inf)
+        rec_rand.append(_topk_recall(rnd, g, motif_ids, k))
+    m_ex, m_rand = float(np.mean(rec_ex)), float(np.mean(rec_rand))
+    assert m_ex > m_rand + 0.25, (m_ex, m_rand)
+
+
 def test_node_explainer_recovers_planted_motif():
     from dig_tpu.xgraph.datasets import tree_cycle
     from dig_tpu.xgraph.model_manager import load_model, train_gnn_node
@@ -253,3 +275,49 @@ def test_node_explainer_recovers_planted_motif():
         rec_rand.append(_topk_recall(rnd, g, motif_ids, len(motif_ids)))
     m_ex, m_rand = float(np.mean(rec_ex)), float(np.mean(rec_rand))
     assert m_ex > m_rand + 0.2, (m_ex, m_rand)
+
+
+def test_sentigraph_dataset_from_cache(tmp_path):
+    """sentigraph_dataset parses the reference raw layout
+    (nlp_dataset.py:47-76): node_features.pkl + indicator/edge/label txt,
+    optional split/tokens; directed arcs become undirected."""
+    import json
+    import pickle
+
+    from dig_tpu.xgraph.datasets import sentigraph_dataset
+
+    raw = tmp_path / "Graph-SST2" / "raw"
+    raw.mkdir(parents=True)
+    # two graphs: 3 nodes (chain) + 2 nodes (single arc)
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    with open(raw / "Graph-SST2_node_features.pkl", "wb") as f:
+        pickle.dump(x, f)
+    np.savetxt(raw / "Graph-SST2_edge_index.txt",
+               np.array([[0, 1], [1, 2], [3, 4]]), fmt="%d")
+    np.savetxt(raw / "Graph-SST2_node_indicator.txt",
+               np.array([1, 1, 1, 2, 2]), fmt="%d")
+    np.savetxt(raw / "Graph-SST2_graph_labels.txt",
+               np.array([1, 0]), fmt="%d")
+    np.savetxt(raw / "Graph-SST2_split_indices.txt",
+               np.array([0, 2]), fmt="%d")
+    with open(raw / "Graph-SST2_sentence_tokens.json", "w") as f:
+        json.dump({"0": ["a", "b", "c"], "1": ["d", "e"]}, f)
+
+    graphs = sentigraph_dataset(str(tmp_path), "Graph-SST2")
+    assert len(graphs) == 2
+    g0, g1 = graphs
+    assert g0["num_nodes"] == 3 and g1["num_nodes"] == 2
+    # undirected: each directed arc appears with its reverse
+    assert sorted(zip(g0["senders"].tolist(), g0["receivers"].tolist())) \
+        == [(0, 1), (1, 0), (1, 2), (2, 1)]
+    # node ids relabeled per graph
+    assert sorted(zip(g1["senders"].tolist(), g1["receivers"].tolist())) \
+        == [(0, 1), (1, 0)]
+    np.testing.assert_allclose(g1["x"], x[3:])
+    assert g0["y"] == 1 and g1["y"] == 0
+    assert g0["split"] == 0 and g1["split"] == 2
+    assert g0["tokens"] == ["a", "b", "c"]
+    # loads through the standard graph-classification loader
+    loader = GraphClsLoader(graphs, 2)
+    b = next(iter(loader))
+    assert b.nodes["x"].shape[-1] == 2
