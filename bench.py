@@ -521,30 +521,40 @@ def bench_spmm_roofline(gbps: float):
     rowptr = _np.zeros(N + 1, _np.int32)
     _np.add.at(rowptr, seg + 1, 1)
     rowptr = _np.cumsum(rowptr).astype(_np.int32)
-    br = 32
-    need = int(max(rowptr[min(k + br, N)] - rowptr[k]
-                   for k in range(0, N, br)))
-    # +128: the kernel's DMA window starts 128-aligned, so a block keeps
-    # eb - (start % 128) of its own edges (see csr_block_overflow)
-    eb = -(-(need + 128) // 128) * 128
     x = jnp.asarray(_np.random.default_rng(0).normal(
         size=(E, F)).astype(_np.float32))
     seg_j = jnp.asarray(seg)
     rp_j = jnp.asarray(rowptr)
-    assert int(csr_block_overflow(rp_j, N, br, eb)) == 0
-
-    @jax.jit
-    def loop(x):
-        def body(acc, _):
-            out = segment_sum_sorted_csr(x, seg_j, rp_j, N, br, eb)
-            return acc + out[0, 0], ()
-        return jax.lax.scan(body, 0.0, None, length=8)[0]
-
-    float(loop(x))
-    dt = _median_time(lambda: loop(x), lambda o: float(o), trials=3) / 8
     # useful bytes: every edge row + seg id read once, every output row
     # written once — the algorithmic minimum
     moved = E * F * 4 + E * 4 + N * F * 4
+
+    # Block-size sweep (round 4): the kernel double-buffers its window
+    # DMAs across grid steps, so larger row blocks now win — they average
+    # out degree skew, shrinking the fixed-size window's slack (useful/
+    # DMA'd ratio 0.67 at br=32 -> 0.84 at br=128 on this data) while the
+    # one-hot matmul stays far from the MXU bound.
+    best = None
+    for br in (32, 64, 128):
+        need = int(max(rowptr[min(k + br, N)] - rowptr[k]
+                       for k in range(0, N, br)))
+        # +128: the kernel's DMA window starts 128-aligned, so a block
+        # keeps eb - (start % 128) of its own edges (csr_block_overflow)
+        eb = -(-(need + 128) // 128) * 128
+        assert int(csr_block_overflow(rp_j, N, br, eb)) == 0
+
+        @jax.jit
+        def loop(x, br=br, eb=eb):
+            def body(acc, _):
+                out = segment_sum_sorted_csr(x, seg_j, rp_j, N, br, eb)
+                return acc + out[0, 0], ()
+            return jax.lax.scan(body, 0.0, None, length=8)[0]
+
+        float(loop(x))
+        dt = _median_time(lambda: loop(x), lambda o: float(o), trials=3) / 8
+        if best is None or dt < best[0]:
+            best = (dt, br, eb)
+    dt, br, eb = best
     achieved = moved / dt / 1e9
     # true DMA'd bytes: each block streams its full aligned window (eb
     # rows), so slack from degree skew + 128-alignment is real traffic

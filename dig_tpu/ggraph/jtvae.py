@@ -194,13 +194,16 @@ class GraphMPN(nn.Module):
 
 class JTVAEModel(nn.Module):
     """Encoder pair + VAE heads + teacher-forced tree decoder
-    (jtnn_vae.py:20-258 + jtnn_dec.py)."""
+    (jtnn_vae.py:20-258 + jtnn_dec.py). With ``predict_prop=True`` this is
+    the property-predicting variant (jtprop_vae.py:49-56 propNN): a
+    tanh-MLP head on the latent, trained jointly with MSE."""
 
     vocab_size: int
     hidden: int = 128
     latent: int = 56
     depth_t: int = 4
     depth_g: int = 3
+    predict_prop: bool = False
 
     def setup(self):
         self.tree_enc = TreeGRUEncoder(self.vocab_size, self.hidden,
@@ -216,6 +219,13 @@ class JTVAEModel(nn.Module):
         self.dec_topo = nn.Dense(1, kernel_init=xavier)
         self.dec_init = nn.Dense(self.hidden, kernel_init=xavier)
         self.dec_emb = nn.Embed(self.vocab_size, self.hidden)
+        if self.predict_prop:
+            self.prop_nn1 = nn.Dense(self.hidden, kernel_init=xavier)
+            self.prop_nn2 = nn.Dense(1, kernel_init=xavier)
+
+    def predict_property(self, latent):
+        """propNN(latent) — jtprop_vae.py:49-53 (Linear→Tanh→Linear)."""
+        return self.prop_nn2(jnp.tanh(self.prop_nn1(latent)))[:, 0]
 
     def encode(self, batch):
         zt = self.tree_enc(batch["labels"], batch["tree_adj"],
@@ -264,7 +274,13 @@ class JTVAEModel(nn.Module):
         kl = -0.5 * jnp.sum(1 + tv - tm ** 2 - jnp.exp(tv), -1) \
              - 0.5 * jnp.sum(1 + gv - gm ** 2 - jnp.exp(gv), -1)
         loss = jnp.mean(-rec_ll + beta * kl)
-        return loss, {"rec": jnp.mean(-rec_ll), "kl": jnp.mean(kl)}
+        aux = {"rec": jnp.mean(-rec_ll), "kl": jnp.mean(kl)}
+        if self.predict_prop and "props" in batch:
+            pred = self.predict_property(latent)
+            prop_mse = jnp.mean((pred - batch["props"]) ** 2)
+            loss = loss + prop_mse          # jtprop_vae.py forward: + prop_loss
+            aux["prop_mse"] = prop_mse
+        return loss, aux
 
     def decode_steps(self, latent, max_steps: int = 12):
         """Greedy decoding: returns (labels, topo) per step."""
@@ -406,19 +422,30 @@ class JTVAE(Generator):
         self._mols = mols
         return self.vocab
 
-    def train_rand_gen(self, smiles: Sequence[str], batch_size: int = 16,
-                       epochs: int = 5, lr: float = 1e-3,
-                       beta: float = 0.005, seed: int = 0,
-                       verbose: bool = True):
+    def _train(self, smiles: Sequence[str], props: Optional[Sequence[float]],
+               batch_size: int, epochs: int, lr: float, beta: float,
+               seed: int, verbose: bool):
         if self.vocab is None:
             self.build_vocab(smiles)
         mols = getattr(self, "_mols", None) or [
             mol_from_smiles(s) for s in smiles]
         trees = [tree_decomp(m) for m in mols]
+        predict_prop = props is not None
+        if predict_prop:
+            props = np.asarray(props, np.float32)
+            assert len(props) == len(trees)
         self.model = JTVAEModel(vocab_size=max(len(self.vocab), 1),
-                                hidden=self.hidden, latent=self.latent)
+                                hidden=self.hidden, latent=self.latent,
+                                predict_prop=predict_prop)
         key = jax.random.PRNGKey(seed)
-        b0 = batch_trees(trees[:batch_size], self.vocab)
+
+        def make_batch(idx):
+            batch = batch_trees([trees[j] for j in idx], self.vocab)
+            if predict_prop:
+                batch["props"] = jnp.asarray(props[np.asarray(idx)])
+            return batch
+
+        b0 = make_batch(list(range(min(batch_size, len(trees)))))
         key, k0 = jax.random.split(key)
         params = jax.jit(self.model.init)(k0, b0, k0)
         opt = optax.adam(lr)
@@ -440,8 +467,7 @@ class JTVAE(Generator):
             order = rng.permutation(len(trees))
             losses = []
             for i in range(0, len(trees) - batch_size + 1, batch_size):
-                batch = batch_trees([trees[j] for j in
-                                     order[i:i + batch_size]], self.vocab)
+                batch = make_batch(order[i:i + batch_size])
                 key, k = jax.random.split(key)
                 params, opt_state, loss, aux = step(params, opt_state,
                                                     batch, k)
@@ -452,6 +478,31 @@ class JTVAE(Generator):
                 print(f"Epoch {ep + 1} | elbo-loss {avg:.4f}")
         self.params = params
         return history
+
+    def train_rand_gen(self, smiles: Sequence[str], batch_size: int = 16,
+                       epochs: int = 5, lr: float = 1e-3,
+                       beta: float = 0.005, seed: int = 0,
+                       verbose: bool = True):
+        return self._train(smiles, None, batch_size, epochs, lr, beta,
+                           seed, verbose)
+
+    def train_prop_opt(self, smiles: Sequence[str],
+                       props: Optional[Sequence[float]] = None,
+                       batch_size: int = 16, epochs: int = 5,
+                       lr: float = 1e-3, beta: float = 0.005,
+                       seed: int = 0, verbose: bool = True):
+        """Train the property-predicting variant (jtprop_vae.py): joint
+        ELBO + MSE(propNN(latent), prop). ``props`` defaults to the
+        chem-kernel plogp PROXY of each training molecule."""
+        if self.vocab is None:
+            self.build_vocab(smiles)
+        if props is None:
+            from .environment import calculate_min_plogp
+            mols = getattr(self, "_mols", None) or [
+                mol_from_smiles(s) for s in smiles]
+            props = [calculate_min_plogp(m) for m in mols]
+        return self._train(smiles, props, batch_size, epochs, lr, beta,
+                           seed, verbose)
 
     def train_assembler(self, smiles: Optional[Sequence[str]] = None,
                         epochs: int = 30, verbose: bool = False):
@@ -475,30 +526,119 @@ class JTVAE(Generator):
         return assemble_scored(frags, getattr(self, "scorer", None),
                                getattr(self, "scorer_params", None))
 
-    def run_rand_gen(self, n_mols: int = 20, seed: int = 0,
-                     max_steps: int = 8) -> List[Mol]:
-        assert self.params is not None
+    def _decode_latents(self, latents, max_steps: int = 8,
+                        empty_fallback: bool = True) -> List[Optional[Mol]]:
+        """Batch-decode latent vectors [B, latent] → host-assembled mols."""
         model, params = self.model, self.params
-        key = jax.random.PRNGKey(seed)
-        latent = jax.random.normal(key, (n_mols, self.latent))
 
         @jax.jit
         def dec(params, latent):
             return model.apply(params, latent, max_steps,
                                method="decode_steps")
 
-        labels, topos = dec(params, latent)
+        labels, topos = dec(params, jnp.asarray(latents))
         labels = np.asarray(labels)
         topos = np.asarray(topos)
         out = []
-        for b in range(n_mols):
+        for b in range(labels.shape[0]):
             frags = []
             for s in range(max_steps):
                 if topos[b, s] < 0.5 and s > 0:
                     break
                 frags.append(self.vocab.fragments[int(labels[b, s])])
             mol = self._assemble(frags)
-            out.append(mol if mol is not None else Mol())
+            if mol is None and empty_fallback:
+                mol = Mol()
+            out.append(mol)
+        return out
+
+    def run_rand_gen(self, n_mols: int = 20, seed: int = 0,
+                     max_steps: int = 8) -> List[Mol]:
+        assert self.params is not None
+        key = jax.random.PRNGKey(seed)
+        latent = jax.random.normal(key, (n_mols, self.latent))
+        return self._decode_latents(latent, max_steps)
+
+    # -- property optimization (jtprop_vae.py:215-263 optimize) ----------
+
+    def encode_latent_mean(self, smiles_list: Sequence[str]):
+        """[tree_mean ; graph_mean] per molecule
+        (jtprop_vae.py:66-74 encode_latent_mean)."""
+        trees = [tree_decomp(mol_from_smiles(s)) for s in smiles_list]
+        batch = batch_trees(trees, self.vocab)
+        tm, _, gm, _ = self.model.apply(self.params, batch, method="encode")
+        return jnp.concatenate([tm, gm], axis=-1)
+
+    def _ascend(self, latents, lr: float, num_iter: int):
+        """Gradient ascent on propNN wrt the latent, as one jitted
+        lax.scan; returns every visited latent [num_iter, B, latent].
+
+        TPU-first redesign of the reference's per-step host loop
+        (jtprop_vae.py:233-239): the whole trajectory is computed
+        on-device, then decoded in ONE batched decode instead of the
+        reference's sequential decode-per-bisection-probe."""
+        assert self.model.predict_prop, "train_prop_opt first"
+        model, params = self.model, self.params
+
+        @jax.jit
+        def ascend(latent0):
+            def body(latent, _):
+                g = jax.grad(lambda z: jnp.sum(model.apply(
+                    params, z, method="predict_property")))(latent)
+                latent = latent + lr * g
+                return latent, latent
+            _, visited = jax.lax.scan(body, latent0, None, length=num_iter)
+            return visited
+
+        return ascend(jnp.asarray(latents))
+
+    def optimize(self, smiles: str, sim_cutoff: float = 0.0,
+                 lr: float = 2.0, num_iter: int = 20,
+                 max_steps: int = 8) -> Tuple[Optional[Mol], float]:
+        """Constrained latent-space optimization of one molecule: ascend
+        the property head, return the furthest decodable point whose
+        Morgan-Tanimoto similarity to the input is >= ``sim_cutoff``
+        (jtprop_vae.py:215-263; similarity is real Morgan-FP, the
+        optimized property is the chem-kernel proxy)."""
+        from .environment import (morgan_fingerprint, tanimoto_similarity)
+        mol_in = mol_from_smiles(smiles)
+        fp_in = morgan_fingerprint(mol_in)
+        latent0 = self.encode_latent_mean([smiles])[0]
+        visited = self._ascend(latent0[None], lr, num_iter)[:, 0]
+        mols = self._decode_latents(visited, max_steps, empty_fallback=False)
+        # walk from the furthest point back (strictly dominates the
+        # reference's bisection: every point is already decoded)
+        for m in reversed(mols):
+            if m is None or m.num_atoms == 0 or not check_valency(m):
+                continue
+            sim = tanimoto_similarity(fp_in, morgan_fingerprint(m))
+            if sim >= sim_cutoff:
+                return m, float(sim)
+        return None, 0.0
+
+    def run_prop_opt(self, n_mols: int = 20, seed: int = 0,
+                     lr: float = 2.0, num_iter: int = 20,
+                     max_steps: int = 8) -> List[Mol]:
+        """Unconstrained property optimization: ascend prior samples and
+        decode the trajectory tails (Generator.run_prop_opt surface)."""
+        assert self.model is not None and self.model.predict_prop, \
+            "train_prop_opt first"
+        key = jax.random.PRNGKey(seed)
+        latent = jax.random.normal(key, (n_mols, self.latent))
+        visited = self._ascend(latent, lr, num_iter)
+        return self._decode_latents(visited[-1], max_steps)
+
+    def run_const_prop_opt(self, smiles_list: Sequence[str],
+                           lr: float = 2.0, num_iter: int = 20) -> Dict:
+        """Optimize each input at the four reference similarity cutoffs;
+        returns the ConstPropOptEvaluator input_dict
+        (jtvae.py run_cons_optim + ConstPropOptEvaluator contract)."""
+        out: Dict = {"inp_smiles": list(smiles_list)}
+        for key_name, thr in (("mols_0", 0.0), ("mols_2", 0.2),
+                              ("mols_4", 0.4), ("mols_6", 0.6)):
+            out[key_name] = [self.optimize(s, sim_cutoff=thr, lr=lr,
+                                           num_iter=num_iter)[0]
+                             for s in smiles_list]
         return out
 
     def reconstruct(self, smiles: str, seed: int = 0) -> Optional[Mol]:

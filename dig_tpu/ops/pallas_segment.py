@@ -55,28 +55,43 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_kernel(starts_ref, seg_hbm, data_hbm, out_ref, seg_v, data_v, sems,
-                *, BN: int, EB: int, F: int):
+                *, BN: int, EB: int, F: int, NB: int):
+    """Double-buffered across grid steps: while block k's one-hot matmul
+    runs, block k+1's window is already in flight (scratch and DMA
+    semaphores persist across the sequential TPU grid)."""
     k = pl.program_id(0)
-    # DMA offsets must be tile-aligned (sublane 8 / lane 128); align the
-    # window start DOWN to 128. The over-fetched leading edges belong to
-    # earlier rows, so their one-hot column is zero — correctness needs no
-    # masking, only ~128 slack in the window cap (see csr_block_overflow).
-    start = starts_ref[k]
-    start_al = pl.multiple_of((start // 128) * 128, 128)
-    seg_dma = pltpu.make_async_copy(
-        seg_hbm.at[:, pl.ds(start_al, EB)], seg_v, sems.at[0])
-    data_dma = pltpu.make_async_copy(
-        data_hbm.at[pl.ds(start_al, EB), :], data_v, sems.at[1])
-    seg_dma.start()
-    data_dma.start()
-    seg_dma.wait()
-    data_dma.wait()
-    rel = seg_v[...] - k * BN                                # [1, EB]
+
+    def dmas(idx, slot):
+        # DMA offsets must be tile-aligned (sublane 8 / lane 128); align
+        # the window start DOWN to 128. Over-fetched leading edges belong
+        # to earlier rows, so their one-hot column is zero — correctness
+        # needs no masking, only ~128 slack in the window cap (see
+        # csr_block_overflow).
+        start_al = pl.multiple_of((starts_ref[idx] // 128) * 128, 128)
+        return (pltpu.make_async_copy(seg_hbm.at[:, pl.ds(start_al, EB)],
+                                      seg_v.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(data_hbm.at[pl.ds(start_al, EB), :],
+                                      data_v.at[slot], sems.at[slot, 1]))
+
+    @pl.when(k == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(k + 1 < NB)
+    def _():
+        for d in dmas(k + 1, (k + 1) % 2):
+            d.start()
+
+    slot = k % 2
+    for d in dmas(k, slot):
+        d.wait()
+    rel = seg_v[slot] - k * BN                               # [1, EB]
     row = jax.lax.broadcasted_iota(jnp.int32, (BN, EB), 0)
     onehot = (rel == row).astype(data_v.dtype)               # [BN, EB]
     # HIGHEST: the sum must be f32-exact; the DMA, not this matmul, is the
     # throughput bound, so full-precision passes are free.
-    out_ref[...] = jnp.dot(onehot, data_v[...],
+    out_ref[...] = jnp.dot(onehot, data_v[slot],
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
@@ -137,7 +152,7 @@ def _ss_fwd(data, seg_ids, rowptr, num_rows, BN, EB):
     E, F = data.shape
     data_p, seg2, starts, F_pad, N_pad, NB = _prep(
         data, seg_ids, rowptr, num_rows, BN, EB)
-    kern = functools.partial(_fwd_kernel, BN=BN, EB=EB, F=F_pad)
+    kern = functools.partial(_fwd_kernel, BN=BN, EB=EB, F=F_pad, NB=NB)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -149,9 +164,9 @@ def _ss_fwd(data, seg_ids, rowptr, num_rows, BN, EB):
             ],
             out_specs=pl.BlockSpec((BN, F_pad), lambda k, s: (k, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, EB), jnp.int32),
-                pltpu.VMEM((EB, F_pad), data_p.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 1, EB), jnp.int32),
+                pltpu.VMEM((2, EB, F_pad), data_p.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((N_pad, F_pad), jnp.float32),
