@@ -617,8 +617,11 @@ def bench_ggraph_gen():
     df = GraphDF()
     df.train_rand_gen(ld, lr=1e-3, wd=0, max_epochs=2,
                       model_conf_dict=conf, verbose=False)
-    df.run_rand_gen(n_mols=4, temperature=(0.6, 0.6), seed=0)  # warm-up
     n = 48
+    # warm-up at the SAME lane count: _generate_batch jits per batch
+    # size, so a smaller warm-up would leave the timed run paying the
+    # B=48 compile (this was most of the r02->r03 mols/s jitter)
+    df.run_rand_gen(n_mols=n, temperature=(0.6, 0.6), seed=0)
     t0 = _t.perf_counter()
     mols, pure_valids = df.run_rand_gen(n_mols=n, temperature=(0.6, 0.6),
                                         seed=1)

@@ -77,6 +77,7 @@ class GraphDF(Generator):
 
     def get_model(self, task, config: Dict, ckpt=None):
         self.conf = config
+        self._rev_fns = None          # jitted dispatchers are per-model
         self.model = GraphFlowModelDF(
             max_size=config["max_size"],
             edge_unroll=config["edge_unroll"],
@@ -156,14 +157,22 @@ class GraphDF(Generator):
         U = model.edge_unroll
         node_dim, bond_dim = model.node_dim, model.bond_dim
 
-        @jax.jit
-        def rev_node(params, x, adj, latent):
-            return model.apply(params, x, adj, latent, method="reverse_node")
+        # cache the jitted reverse-step dispatchers on the method object:
+        # rebuilding them per call would retrace (and lose the C++ fast
+        # path) on every run_rand_gen invocation
+        if getattr(self, "_rev_fns", None) is None:
+            @jax.jit
+            def rev_node(params, x, adj, latent):
+                return model.apply(params, x, adj, latent,
+                                   method="reverse_node")
 
-        @jax.jit
-        def rev_edge(params, x, adj, latent, ei):
-            return model.apply(params, x, adj, latent, ei,
-                               method="reverse_edge")
+            @jax.jit
+            def rev_edge(params, x, adj, latent, ei):
+                return model.apply(params, x, adj, latent, ei,
+                                   method="reverse_edge")
+
+            self._rev_fns = (rev_node, rev_edge)
+        rev_node, rev_edge = self._rev_fns
 
         node_logits = np.asarray(
             params["params"]["node_base_log_probs"])
@@ -452,6 +461,7 @@ class GraphAF(GraphDF):
 
     def get_model(self, task, config: Dict, ckpt=None):
         self.conf = config
+        self._rev_fns = None          # jitted dispatchers are per-model
         self.model = GraphFlowModelAF(
             max_size=config["max_size"],
             edge_unroll=config["edge_unroll"],
@@ -511,14 +521,19 @@ class GraphAF(GraphDF):
         temp = (temperature if isinstance(temperature, (tuple, list))
                 else (temperature, temperature))
 
-        @jax.jit
-        def rev_node(params, x, adj, latent):
-            return model.apply(params, x, adj, latent, method="reverse_node")
+        if getattr(self, "_rev_fns", None) is None:
+            @jax.jit
+            def rev_node(params, x, adj, latent):
+                return model.apply(params, x, adj, latent,
+                                   method="reverse_node")
 
-        @jax.jit
-        def rev_edge(params, x, adj, latent, ei):
-            return model.apply(params, x, adj, latent, ei,
-                               method="reverse_edge")
+            @jax.jit
+            def rev_edge(params, x, adj, latent, ei):
+                return model.apply(params, x, adj, latent, ei,
+                                   method="reverse_edge")
+
+            self._rev_fns = (rev_node, rev_edge)
+        rev_node, rev_edge = self._rev_fns
 
         rng = np.random.default_rng(seed)
         mols, pure_valids = [], []

@@ -20,10 +20,12 @@ from .history import History, FeatureMomentum
 from .loader import SubgraphLoader, EvalSubgraphLoader, metis_permute, SubData
 from .models import ScalableGCN, ScalableGCN2, ScalablePNA, ScalableGNN
 from .data import synthetic_large_graph, get_data
+from .fm_ib import GraphFMIB, NeighborSampledLoader, NeighborBatch
 
 __all__ = [
     "History", "FeatureMomentum",
     "SubgraphLoader", "EvalSubgraphLoader", "metis_permute", "SubData",
     "ScalableGNN", "ScalableGCN", "ScalableGCN2", "ScalablePNA",
     "synthetic_large_graph", "get_data",
+    "GraphFMIB", "NeighborSampledLoader", "NeighborBatch",
 ]

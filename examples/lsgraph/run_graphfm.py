@@ -41,3 +41,43 @@ out = model.mini_inference(params, xg, EvalSubgraphLoader(s, r, N, ptr, perm))
 pred = np.argmax(np.asarray(out), -1)
 test = data["test_mask"][perm]
 print("test acc:", float((pred[test] == y_new[test]).mean()))
+
+# ---------------------------------------------------------------------------
+# GraphFM-IB: in-batch feature momentum over neighbor-sampled minibatches
+# (reference examples/lsgraph/GraphFMIB/reddit_example.py)
+# ---------------------------------------------------------------------------
+from dig_tpu.lsgraph import GraphFMIB, NeighborSampledLoader
+
+ib_loader = NeighborSampledLoader(s, r, N, data["train_mask"],
+                                  sizes=[3, 3], batch_size=64, seed=0)
+ib = GraphFMIB(N, x.shape[1], 64, 4, num_layers=2, alpha=0.1).bind(ib_loader)
+b0 = next(iter(ib_loader))
+ib_params = ib.init(jax.random.PRNGKey(1), x, b0)
+ib_opt = optax.adam(1e-2)
+ib_os = ib_opt.init(ib_params)
+ib_h = ib.histories
+xj, yj = jnp.asarray(x), jnp.asarray(data["y"])
+B = ib_loader.B
+
+@jax.jit
+def ib_step(params, opt_state, hists, b):
+    def loss_fn(p):
+        out, nh = ib.forward(p, hists, xj, b)
+        tgt = yj[b.n_id[:B]]
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            out, tgt)), nh
+    (loss, nh), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    up, opt_state = ib_opt.update(grads, opt_state, params)
+    return optax.apply_updates(params, up), opt_state, nh, loss
+
+for ep in range(10):
+    for b in ib_loader:
+        ib_params, ib_os, ib_h, ib_loss = ib_step(ib_params, ib_os, ib_h,
+                                                  ib._jb(b))
+    if ep % 5 == 0:
+        print(f"[IB] epoch {ep} loss {float(ib_loss):.4f}")
+
+ib_out = ib.full_inference(ib_params, xj, jnp.asarray(s), jnp.asarray(r))
+ib_pred = np.argmax(np.asarray(ib_out), -1)
+print("[IB] test acc:",
+      float((ib_pred[data["test_mask"]] == data["y"][data["test_mask"]]).mean()))
