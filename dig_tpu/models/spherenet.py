@@ -39,6 +39,7 @@ from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
 from ..ops.pallas_triplet import fused_angle_product, fused_triplet_product
 from ..ops.pallas_triplet_pt import basis_pt, fused_triplet_pt
+from ..ops.pallas_triplet_slot import fused_triplet_slot
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
@@ -190,6 +191,10 @@ class UpdateE(nn.Module):
     # reach HBM; exact to second order (force training)
     num_spherical: int = 7  # static basis config for fuse_basis
     num_radial: int = 6
+    slot_atoms: int = 0  # >0 (with fuse_basis, slot-aligned batches):
+    # slot-resident kernel (ops/pallas_triplet_slot.py) — the expand
+    # gather runs IN VMEM as a masked one-hot contraction, so no [T, C]
+    # tensor exists at any AD level (the force-training layout)
 
     @nn.compact
     def __call__(self, e1, rbf0, sbf, tbf, trip: Triplets, geom=None):
@@ -225,22 +230,35 @@ class UpdateE(nn.Module):
                     jnp.eye(t_dim, dtype=cdt))
                 wt2 = D(self.int_emb_size)(
                     jnp.eye(self.basis_emb_size_torsion, dtype=cdt))
-            xg = expand_kj_raw(x_kj, trip)  # kernel applies the mask
             K = trip.nk_nbr.shape[1]
-            m2d = trip.mask.reshape(-1, K).astype(cdt)
             if self.fuse_basis:
-                # geom IS the packed transposed basis table [R, T], built
-                # once in _SphericalMPNN and shared by all layers
                 cfg = (ns, nr, self.use_torsion)
                 wt = (wt1 @ wt2 if self.use_torsion
                       else jnp.zeros((1, self.int_emb_size), cdt))
-                x_kj = fused_triplet_pt(xg, geom, ws1 @ ws2, wt, m2d,
-                                        K, 128, cfg)
+                if self.slot_atoms > 0:
+                    # geom = (pt_s [R, K*E], m2T [K, E], lj [1, E]); the
+                    # expand gather runs inside the kernel — x_kj [E, C]
+                    # is the kernel input, nothing [T, C]-sized exists
+                    pt_s, m2t, lj = geom
+                    x_kj = fused_triplet_slot(x_kj, pt_s, ws1 @ ws2, wt,
+                                              m2t, lj, self.slot_atoms,
+                                              K, cfg)
+                else:
+                    # geom IS the packed transposed basis table [R, T],
+                    # built once in _SphericalMPNN, shared by all layers
+                    xg = expand_kj_raw(x_kj, trip)
+                    m2d = trip.mask.reshape(-1, K).astype(cdt)
+                    x_kj = fused_triplet_pt(xg, geom, ws1 @ ws2, wt, m2d,
+                                            K, 128, cfg)
             elif self.use_torsion:
+                xg = expand_kj_raw(x_kj, trip)
+                m2d = trip.mask.reshape(-1, K).astype(cdt)
                 x_kj = fused_triplet_product(
                     xg, sbf, tbf, ws1 @ ws2, wt1 @ wt2, m2d, K,
                     basis_grads=self.pallas_basis_grads)
             else:
+                xg = expand_kj_raw(x_kj, trip)
+                m2d = trip.mask.reshape(-1, K).astype(cdt)
                 x_kj = fused_angle_product(
                     xg, sbf, ws1 @ ws2, m2d, K,
                     basis_grads=self.pallas_basis_grads)
@@ -355,6 +373,11 @@ class _SphericalMPNN(nn.Module):
     # basis tables inside the kernel from scalar geometry
     # (ops/pallas_triplet_basis.py) — no [T, S] basis tensor in HBM, exact
     # to second order; the preferred layout for energy+force training
+    pallas_slot: bool = False  # with pallas_fuse_basis + block_size > 0:
+    # slot-resident kernel (ops/pallas_triplet_slot.py) — the triplet
+    # expand gather runs IN VMEM over the slot's x block, so no [T, C]
+    # tensor exists at any AD level (it was the majority of the
+    # energy+force step's HBM traffic); requires slot-aligned batches
 
     @nn.compact
     def __call__(self, g: GraphBatch):
@@ -390,8 +413,33 @@ class _SphericalMPNN(nn.Module):
         dist_kj = triplet_kj_distances(pos, trip)
         fuse_basis = (self.pallas_fuse_basis and self.pallas_triplet
                       and trip.nk_nbr is not None)
+        slot_fused = (fuse_basis and self.pallas_slot
+                      and self.block_size > 0)
         geom = None
-        if fuse_basis:
+        if slot_fused:
+            # slot-resident layout (ops/pallas_triplet_slot): the packed
+            # basis table is built S-MAJOR (column s*E + e — edge axis
+            # minor, full lanes) from transposed [K, E] scalar geometry,
+            # and the kernel gathers x in VMEM via (senders - slot*A)
+            A = self.block_size
+            K = trip.nk_nbr.shape[1]
+            E = senders.shape[0]
+
+            def smaj(v):                       # [T] e-major -> s-major
+                return v.reshape(E, K).T.reshape(-1)
+
+            phi = torsion_angles(pos, trip) if self.use_torsion else None
+            pt_s = basis_pt(self.num_spherical, self.num_radial,
+                            smaj(angle),
+                            None if phi is None else smaj(phi),
+                            smaj(dist_kj) / self.cutoff, self.use_torsion)
+            cdt = self.compute_dtype or jnp.float32
+            m2t = trip.mask.reshape(E, K).T.astype(cdt)
+            lj = (senders - (jnp.arange(E, dtype=jnp.int32)
+                             // (A * K)) * A).astype(jnp.int32)[None]
+            geom = (pt_s.astype(cdt), m2t, lj)
+            sbf = tbf = None
+        elif fuse_basis:
             # packed transposed basis table [R, T] (ops/pallas_triplet_pt):
             # nothing [T, S]-sized is materialized — the triplet axis is
             # MINOR so the table stores dense (~8x less HBM than sbf+tbf),
@@ -452,6 +500,7 @@ class _SphericalMPNN(nn.Module):
                         fuse_basis=fuse_basis,
                         num_spherical=self.num_spherical,
                         num_radial=self.num_radial,
+                        slot_atoms=self.block_size if slot_fused else 0,
                         name=f"UpdateE_{li}")(e1, rbf0, sbf, tbf, trip,
                                               geom=geom)
             v = UpdateV(self.hidden_channels, self.out_emb_channels,

@@ -642,10 +642,35 @@ def torsion_angles(pos: Array, trip: Triplets, eps: float = 1e-12) -> Array:
     def outer(u, v):
         return u[:, :, None] * v[:, None, :]
 
+    def dihedral_key(px_d, py_d, pz_d, px_n, py_n, pz_n, jx, jy, jz, dji):
+        """Monotone surrogate of the remapped dihedral for the argmin
+        ONLY: the 'diamond angle' t(a, b) = quadrant + frac in [0, 4) is
+        a strictly increasing function of atan2(b, a) mod 2*pi, so
+        argmin(key) == argmin(remapped dihedral) while costing one
+        divide instead of an arctan2 over the [E, D, D] grid (the grid's
+        trig was the largest elementwise block of the force step; the
+        true dihedral is still computed on the selected candidates)."""
+        a = px_d * px_n + py_d * py_n + pz_d * pz_n
+        b = ((py_d * pz_n - pz_d * py_n) * jx
+             + (pz_d * px_n - px_d * pz_n) * jy
+             + (px_d * py_n - py_d * px_n) * jz) / dji
+        degenerate = (a * a + b * b) < eps
+        a = jnp.where(degenerate, 1.0, a)
+        b = jnp.where(degenerate, 0.0, b)
+        ab = jnp.abs(a) + jnp.abs(b)
+        num = jnp.where(b >= 0, jnp.where(a >= 0, b, -a),
+                        jnp.where(a < 0, -b, a))
+        off = jnp.where(b >= 0, jnp.where(a >= 0, 0.0, 1.0),
+                        jnp.where(a < 0, 2.0, 3.0))
+        t = off + num / ab
+        # same branch threshold as dihedral()'s tors <= 1e-6 remap:
+        # t ~ theta to first order near 0
+        return jnp.where(t <= 1e-6, t + 4.0, t)
+
     # selection pass (no gradients): full [E, D, D] grid -> argmin index
     sg = jax.lax.stop_gradient
     gx, gy, gz = sg(p_x), sg(p_y), sg(p_z)
-    tors_grid = dihedral(
+    tors_grid = dihedral_key(
         gx[:, :, None], gy[:, :, None], gz[:, :, None],
         gx[:, None, :], gy[:, None, :], gz[:, None, :],
         sg(jix)[:, None, None], sg(jiy)[:, None, None],
