@@ -116,8 +116,10 @@ def bench_spherenet():
     shared bessel evaluation -> 838k; NK-specialized edge frames
     (broadcast i-gathers, free kn_tab) -> ~880k; triplet mask folded into
     the fused kernel (raw mask-free expand gathers, ops/triplets.
-    expand_kj_raw) -> ~1.0M edges/s at G=96. Edges are counted host-side
-    against the TRUE uncapped radius graph.
+    expand_kj_raw) -> ~1.0M edges/s at G=96; slot-resident fused kernel
+    (ops/pallas_triplet_slot.py, round 4: expand gather in VMEM, s a grid
+    axis) -> 1.32M edges/s. Edges are counted host-side against the TRUE
+    uncapped radius graph.
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
@@ -129,7 +131,8 @@ def bench_spherenet():
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
                       block_size=29, compute_dtype=jnp.bfloat16,
-                      pallas_triplet=True, pallas_basis_grads=False)
+                      pallas_triplet=True, pallas_fuse_basis=True,
+                      pallas_slot=True)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]
@@ -185,7 +188,9 @@ def bench_spherenet_force():
     double backward), and the argmin-recompute torsion path. Measured
     ladder on this chip (G=96): round-2 XLA chain 219k -> +single-forward
     loss & expand-op closure 277k -> +fused 2nd-order kernels 315k ->
-    +packed-basis kernels & closed gathers & torsion argmin 332k edges/s.
+    +packed-basis kernels & closed gathers & torsion argmin 332k ->
+    round-4 slot-resident kernels (zero [T, C] HBM tensors, s as a grid
+    axis, diamond-angle torsion argmin) 480k edges/s.
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
@@ -200,7 +205,8 @@ def bench_spherenet_force():
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
                       block_size=29, compute_dtype=jnp.bfloat16,
-                      pallas_triplet=True, pallas_fuse_basis=True)
+                      pallas_triplet=True, pallas_fuse_basis=True,
+                      pallas_slot=True)
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]

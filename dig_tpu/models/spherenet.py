@@ -418,21 +418,23 @@ class _SphericalMPNN(nn.Module):
         geom = None
         if slot_fused:
             # slot-resident layout (ops/pallas_triplet_slot): the packed
-            # basis table is built S-MAJOR (column s*E + e — edge axis
+            # basis table is built S-LEADING ([K, R, E] — edge axis
             # minor, full lanes) from transposed [K, E] scalar geometry,
             # and the kernel gathers x in VMEM via (senders - slot*A)
+            from ..ops.pallas_triplet_slot import basis_pt_k
             A = self.block_size
             K = trip.nk_nbr.shape[1]
             E = senders.shape[0]
 
-            def smaj(v):                       # [T] e-major -> s-major
-                return v.reshape(E, K).T.reshape(-1)
+            def smaj(v):                       # [T] e-major -> [K, E]
+                return v.reshape(E, K).T
 
             phi = torsion_angles(pos, trip) if self.use_torsion else None
-            pt_s = basis_pt(self.num_spherical, self.num_radial,
-                            smaj(angle),
-                            None if phi is None else smaj(phi),
-                            smaj(dist_kj) / self.cutoff, self.use_torsion)
+            pt_s = basis_pt_k(self.num_spherical, self.num_radial,
+                              smaj(angle),
+                              None if phi is None else smaj(phi),
+                              smaj(dist_kj) / self.cutoff,
+                              self.use_torsion)
             cdt = self.compute_dtype or jnp.float32
             m2t = trip.mask.reshape(E, K).T.astype(cdt)
             lj = (senders - (jnp.arange(E, dtype=jnp.int32)

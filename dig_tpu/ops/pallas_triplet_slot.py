@@ -10,29 +10,32 @@ STRUCTURAL: the v3 kernels consume a gathered ``xg [T, C]`` operand
 ``expand_kj`` gathers — ~9 such passes per layer were the majority of
 the whole step.
 
-Here the expand never reaches HBM. The kernel takes the EDGE-level
-``x [E, C]`` (E = G*A*K rows in the slot-aligned NK layout: G molecule
-slots x A atoms x K neighbors) and gathers in VMEM:
+Here the expand never reaches HBM, and the triplet reference-neighbor
+axis s is a GRID dimension:
 
-* grid = one step per slot; the slot's x block ``[A, K, C]`` is VMEM-
-  resident (a molecule's neighbors live in its own slot —
-  ``radius_graph_nk_blocked`` guarantees it);
-* the triplet's K axis is a STATIC unrolled loop: per reference
-  neighbor s, the gather is a transposed one-hot ``dot_general``
-  ``xg_s [E_t, C] = (onehot * mask_s) [A, E_t] . x_s [A, C]`` — MXU
-  work, whose adjoint is the transposed einsum (no scatter at any AD
-  order), with the triplet mask folded into the one-hot;
-* the packed basis table arrives S-MAJOR, ``pt [R, K, E]`` (edge axis
-  minor, full lanes; rows as :func:`pallas_triplet_pt.basis_pt`), so
-  the per-s slice is a cheap middle-axis reduction and sbf/tbf rows are
-  assembled in VMEM exactly as in v3.
+* grid = (slot-groups, K). Each program handles the (tile, s) pair, so
+  every operand arrives pre-sliced by BlockSpec — no in-kernel slicing
+  (Mosaic-hostile under AD) and no masked-reduction "select" passes
+  (an earlier per-s in-body loop made each s re-touch the whole
+  [R, K, Et] tile, turning the kernels VPU-bound);
+* s-leading layouts: x arrives ``[K, N, C]``, the packed basis
+  ``[K, R, E]`` (built at that layout for free — :func:`basis_pt_k`
+  stacks the closed forms on axis 1), the triplet mask ``[K, 1, E]``;
+* the expand gather is a masked one-hot ``dot_general`` against the
+  slot group's VMEM-resident x slice: MXU work whose adjoint is the
+  transposed einsum — no scatter at any AD order;
+* blocks whose index does not change across the (minor) s steps — the
+  edge-level cotangent, sender ids, the output tile — are DMA'd once
+  per tile and accumulated in VMEM across s (``@pl.when(s == 0)``
+  init), so per-pass HBM is x + pt + masks + out and their cotangents,
+  all E-sized. Nothing T-sized exists at any AD level, and each
+  program's live set is one (tile, s) block (the in-body K-loop's
+  vjp-of-loop spilled 218 MB; jax.checkpoint cannot lower in Mosaic).
 
 Differentiation strategy is v3's, unchanged: bodies are pure jnp, the
 backward body is trace-time ``jax.vjp`` of the forward body, the
 second-order body is ``jax.vjp`` of the backward body, and the
 custom_vjp tower (F -> B -> bwd2) keeps reverse-over-reverse fused.
-Per-pass HBM is x (read) + pt + masks + out and their cotangents — all
-E-sized; nothing T-sized is ever materialized.
 """
 from __future__ import annotations
 
@@ -43,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .basis import make_bessel_funcs, make_sph_funcs_full, make_sph_funcs_m0
+
 
 def _on_tpu() -> bool:
     try:
@@ -51,125 +56,115 @@ def _on_tpu() -> bool:
         return False
 
 
+def basis_pt_k(num_spherical: int, num_radial: int, theta, phi, dk,
+               has_t: bool):
+    """Packed basis table [K, R, E] from [K, E] per-triplet scalars —
+    the s-LEADING layout the slot kernels consume. Same rows, same
+    closed forms as :func:`pallas_triplet_pt.basis_pt` (bessel l-major,
+    Y_l^0, then Y_l^m); stacking on axis 1 produces the transposed
+    layout with no extra data movement."""
+    n, k = num_spherical, num_radial
+    rows = [f(dk) for row in make_bessel_funcs(n, k) for f in row]
+    rows += [f(theta) for f in make_sph_funcs_m0(n)]
+    if has_t:
+        rows += [f(theta, phi) for f in make_sph_funcs_full(n)]
+    return jnp.stack(rows, axis=1)                        # [K, R, E]
+
+
 # ---------------------------------------------------------------------------
 # bodies (pure jnp -> derivative bodies by trace-time jax.vjp)
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _make_bodies(num_spherical: int, num_radial: int, has_t: bool, K: int):
+def _make_bodies(num_spherical: int, num_radial: int, has_t: bool):
     n, k = num_spherical, num_radial
     dn = (((0,), (0,)), ((), ()))
 
-    def _contrib(s, xs, bt, y0, yt, ws, wt, oh, m2T):
+    def fwd_body(xs, bt, y0, yt, ws, wt, ohm):
+        """One (tile, s) contribution. xs [A, C] (the slot group's x rows
+        for this s); bt [n*k, Et]; y0 [n, Et]; yt [n*n|1, Et];
+        ws [n*k, C]; wt [n*n*k|1, C]; ohm [A, Et] = one-hot(sender) *
+        this s's triplet mask (constant under differentiation).
+        Returns [Et, C] f32."""
         f32 = jnp.float32
         md = xs.dtype
-        e_s = jnp.eye(K, dtype=f32)[s]
-        x_s = jnp.sum(xs.astype(f32) * e_s[None, :, None], axis=1)
-        b_s = jnp.sum(bt.astype(f32) * e_s[None, :, None], axis=1)
-        y0_s = jnp.sum(y0.astype(f32) * e_s[None, :, None], axis=1)
-        sbfT = b_s * jnp.repeat(y0_s, k, axis=0)             # [n*k, Et]
+        b = bt.astype(f32)
+        sbfT = b * jnp.repeat(y0.astype(f32), k, axis=0)      # [n*k, Et]
         sv = jax.lax.dot_general(sbfT.astype(md), ws, dn,
                                  preferred_element_type=f32)  # [Et, C]
-        oh_s = oh * m2T[s:s + 1, :]                           # [A, Et]
-        xg = jax.lax.dot_general(oh_s.astype(md), x_s.astype(md), dn,
+        xg = jax.lax.dot_general(ohm.astype(md), xs.astype(md), dn,
                                  preferred_element_type=f32)  # [Et, C]
         prod = xg * sv
         if has_t:
-            y_s = jnp.sum(yt.astype(f32) * e_s[None, :, None], axis=1)
-            tbfT = (jnp.repeat(y_s, k, axis=0)
-                    * jnp.concatenate([b_s] * n, axis=0))     # [n*n*k, Et]
+            tbfT = (jnp.repeat(yt.astype(f32), k, axis=0)
+                    * jnp.concatenate([b] * n, axis=0))       # [n*n*k, Et]
             tv = jax.lax.dot_general(tbfT.astype(md), wt, dn,
                                      preferred_element_type=f32)
             prod = prod * tv
         return prod
 
-    def fwd_body(xs, bt, y0, yt, ws, wt, oh, m2T):
-        """xs [A, K, C]; bt [n*k, K, Et]; y0 [n, K, Et]; yt [n*n|1, K, Et];
-        ws [n*k, C]; wt [n*n*k|1, C]; oh [A, Et] one-hot(sender);
-        m2T [K, Et] triplet mask. oh/m2T are constants under
-        differentiation. Returns [Et, C] f32."""
-        Et = oh.shape[-1]
-        C = xs.shape[-1]
-        out = jnp.zeros((Et, C), jnp.float32)
-        for s in range(K):
-            out = out + _contrib(s, xs, bt, y0, yt, ws, wt, oh, m2T)
-        return out
+    def bwd_body(xs, bt, y0, yt, ws, wt, ohm, ct):
+        _, vjp = jax.vjp(lambda *a: fwd_body(*a, ohm),
+                         xs, bt, y0, yt, ws, wt)
+        return vjp(ct.astype(jnp.float32))
 
-    def bwd_body(xs, bt, y0, yt, ws, wt, oh, m2T, ct):
-        """Hand-structured reverse: out = sum_s contrib_s, so the input
-        cotangents are sum_s vjp(contrib_s)(ct), with EACH s-block traced
-        as its own forward-recompute + reverse region. jax.vjp of the
-        whole K-loop would keep all K iterations' intermediates live
-        across the reverse sweep — a 218 MB Mosaic spill at the flagship
-        tile (VMEM is 128 MB; jax.checkpoint cannot lower inside a
-        Pallas TPU body). Recompute is free here: the kernels are
-        HBM-bound, remat re-does only VMEM-resident MXU/VPU work."""
-        ctf = ct.astype(jnp.float32)
-        grads = None
-        for s in range(K):
-            _, vjp = jax.vjp(
-                lambda *a, s=s: _contrib(s, *a, oh, m2T),
-                xs, bt, y0, yt, ws, wt)
-            g = vjp(ctf)
-            grads = g if grads is None else tuple(
-                a + b for a, b in zip(grads, g))
-        return grads
+    def bwd2_body(xs, bt, y0, yt, ws, wt, ohm, ct, us):
+        def bwd_flat(xs, bt, y0, yt, ws, wt, ct):
+            return bwd_body(xs, bt, y0, yt, ws, wt, ohm, ct)
 
-    def bwd2_terms(xs, bt, y0, yt, ws, wt, oh, m2T, ct, us):
-        """Second order, same per-s structuring: bwd = sum_s bwd_s with
-        bwd_s = vjp(contrib_s), so vjp(bwd)(us) = sum_s vjp(bwd_s)(us)."""
-        ctf = ct.astype(jnp.float32)
-        grads = None
-        for s in range(K):
-            def bwd_s(xs, bt, y0, yt, ws, wt, ct, s=s):
-                _, vjp = jax.vjp(
-                    lambda *a, s=s: _contrib(s, *a, oh, m2T),
-                    xs, bt, y0, yt, ws, wt)
-                return vjp(ct)
+        outs, vjp2 = jax.vjp(bwd_flat, xs, bt, y0, yt, ws, wt,
+                             ct.astype(jnp.float32))
+        us = tuple(u.astype(o.dtype) for u, o in zip(us, outs))
+        return vjp2(us)
 
-            outs_s, vjp2 = jax.vjp(bwd_s, xs, bt, y0, yt, ws, wt, ctf)
-            g = vjp2(tuple(u.astype(o.dtype) for u, o in zip(us, outs_s)))
-            grads = g if grads is None else tuple(
-                a + b for a, b in zip(grads, g))
-        return grads
-
-    return fwd_body, bwd_body, bwd2_terms
+    return fwd_body, bwd_body, bwd2_body
 
 
-def _oh(lj_ref, A: int):
-    """[A, Et] one-hot from group-local sender ids [1, Et] (kernel-
-    resident ints, constant under differentiation)."""
+def _ohm(lj_ref, m2T_ref, A: int):
+    """[A, Et] masked one-hot from group-local sender ids [1, Et] and
+    this s's mask row [1, 1, Et] (kernel-resident, nondiff)."""
     Et = lj_ref.shape[-1]
-    return (jax.lax.broadcasted_iota(jnp.int32, (A, Et), 0)
-            == lj_ref[...]).astype(jnp.float32)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (A, Et), 0)
+          == lj_ref[...]).astype(jnp.float32)
+    return oh * m2T_ref[0].astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# kernels — grid (Gt, K), s minor; s-sliced blocks arrive [1, ...]
 # ---------------------------------------------------------------------------
+
+def _sq(ref):
+    return ref[0]                                  # drop the s block dim
+
 
 def _fwd_kernel(x_ref, bt_ref, y0_ref, yt_ref, ws_ref, wt_ref, m2T_ref,
                 lj_ref, out_ref, *, body, A):
-    oh = _oh(lj_ref, A)
-    out_ref[...] = body(x_ref[...], bt_ref[...], y0_ref[...], yt_ref[...],
-                        ws_ref[...], wt_ref[...], oh,
-                        m2T_ref[...].astype(jnp.float32)
-                        ).astype(out_ref.dtype)
+    s = pl.program_id(1)
+    ohm = _ohm(lj_ref, m2T_ref, A)
+    prod = body(_sq(x_ref), _sq(bt_ref), _sq(y0_ref), _sq(yt_ref),
+                ws_ref[...], wt_ref[...], ohm)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += prod.astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, bt_ref, y0_ref, yt_ref, ws_ref, wt_ref, m2T_ref,
                 lj_ref, ct_ref, dx_ref, dbt_ref, dy0_ref, dyt_ref, dws_ref,
                 dwt_ref, *, body, A):
-    oh = _oh(lj_ref, A)
+    g, s = pl.program_id(0), pl.program_id(1)
+    ohm = _ohm(lj_ref, m2T_ref, A)
     dx, dbt, dy0, dyt, dws, dwt = body(
-        x_ref[...], bt_ref[...], y0_ref[...], yt_ref[...], ws_ref[...],
-        wt_ref[...], oh, m2T_ref[...].astype(jnp.float32), ct_ref[...])
-    dx_ref[...] = dx.astype(dx_ref.dtype)
-    dbt_ref[...] = dbt.astype(dbt_ref.dtype)
-    dy0_ref[...] = dy0.astype(dy0_ref.dtype)
-    dyt_ref[...] = dyt.astype(dyt_ref.dtype)
+        _sq(x_ref), _sq(bt_ref), _sq(y0_ref), _sq(yt_ref),
+        ws_ref[...], wt_ref[...], ohm, ct_ref[...])
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dbt_ref[0] = dbt.astype(dbt_ref.dtype)
+    dy0_ref[0] = dy0.astype(dy0_ref.dtype)
+    dyt_ref[0] = dyt.astype(dyt_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((g == 0) & (s == 0))
     def _():
         dws_ref[...] = jnp.zeros_like(dws_ref)
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
@@ -181,27 +176,32 @@ def _bwd_kernel(x_ref, bt_ref, y0_ref, yt_ref, ws_ref, wt_ref, m2T_ref,
 def _bwd2_kernel(x_ref, bt_ref, y0_ref, yt_ref, ws_ref, wt_ref, m2T_ref,
                  lj_ref, ct_ref, u1_ref, ub_ref, uy0_ref, uyt_ref, u4_ref,
                  u5_ref, xb_ref, btb_ref, y0b_ref, ytb_ref, wsb_ref,
-                 wtb_ref, ctb_ref, *, body2, A):
-    oh = _oh(lj_ref, A)
-    m2T = m2T_ref[...].astype(jnp.float32)
-    us = (u1_ref[...], ub_ref[...], uy0_ref[...], uyt_ref[...],
+                 wtb_ref, ctb_ref, *, body, A):
+    g, s = pl.program_id(0), pl.program_id(1)
+    ohm = _ohm(lj_ref, m2T_ref, A)
+    us = (_sq(u1_ref), _sq(ub_ref), _sq(uy0_ref), _sq(uyt_ref),
           u4_ref[...], u5_ref[...])
-    xb, btb, y0b, ytb, wsb, wtb, ctb = body2(
-        x_ref[...], bt_ref[...], y0_ref[...], yt_ref[...], ws_ref[...],
-        wt_ref[...], oh, m2T, ct_ref[...], us)
-    xb_ref[...] = xb.astype(xb_ref.dtype)
-    btb_ref[...] = btb.astype(btb_ref.dtype)
-    y0b_ref[...] = y0b.astype(y0b_ref.dtype)
-    ytb_ref[...] = ytb.astype(ytb_ref.dtype)
-    ctb_ref[...] = ctb.astype(ctb_ref.dtype)
+    xb, btb, y0b, ytb, wsb, wtb, ctb = body(
+        _sq(x_ref), _sq(bt_ref), _sq(y0_ref), _sq(yt_ref),
+        ws_ref[...], wt_ref[...], ohm, ct_ref[...], us)
+    xb_ref[0] = xb.astype(xb_ref.dtype)
+    btb_ref[0] = btb.astype(btb_ref.dtype)
+    y0b_ref[0] = y0b.astype(y0b_ref.dtype)
+    ytb_ref[0] = ytb.astype(ytb_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((g == 0) & (s == 0))
     def _():
         wsb_ref[...] = jnp.zeros_like(wsb_ref)
         wtb_ref[...] = jnp.zeros_like(wtb_ref)
 
     wsb_ref[...] += wsb
     wtb_ref[...] += wtb
+
+    @pl.when(s == 0)
+    def _():
+        ctb_ref[...] = jnp.zeros_like(ctb_ref)
+
+    ctb_ref[...] += ctb.astype(ctb_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -219,10 +219,10 @@ def _gcd(a, b):
 
 
 def _layout(E, A, K):
-    """Mosaic requires 128-divisible lane blocks, so a grid step covers S
+    """Mosaic requires 128-divisible lane blocks, so a tile covers S
     slots with S = 128/gcd(A*K, 128) (S=8 at the flagship A=29, K=16:
     8*464 = 29*128). Slots are zero-padded up to a multiple of S.
-    Returns (S, Et, G_pad, E_pad)."""
+    Returns (S, Et, Gt, E_pad)."""
     Et1 = A * K
     S = 128 // _gcd(Et1, 128)
     G = -(-E // Et1)
@@ -239,156 +239,151 @@ def _pad_e(x, E_pad, axis):
     return jnp.pad(x, pads)
 
 
-def _split_pt3(pt, cfg, K, E):
-    """pt [R, K*E] s-major -> (bt [nk,K,E], y0 [n,K,E], yt [nt|1,K,E])."""
-    ns, nr, has_t = cfg
-    nk = ns * nr
-    pt3 = pt.reshape(pt.shape[0], K, E)
-    bt = pt3[:nk]
-    y0 = pt3[nk:nk + ns]
-    yt = (pt3[nk + ns:] if has_t
-          else jnp.zeros((1, K, E), pt.dtype))
-    return bt, y0, yt
-
-
-def _x_spec(A, K, C):
-    return pl.BlockSpec((A, K, C), lambda g: (g, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _pt_spec(r, K, Et):
-    return pl.BlockSpec((r, K, Et), lambda g: (0, 0, g),
-                        memory_space=pltpu.VMEM)
-
-
-def _e_spec(Et, C):
-    return pl.BlockSpec((Et, C), lambda g: (g, 0), memory_space=pltpu.VMEM)
-
-
-def _k_spec(K, Et):
-    return pl.BlockSpec((K, Et), lambda g: (0, g), memory_space=pltpu.VMEM)
-
-
-def _lj_spec(Et):
-    return pl.BlockSpec((1, Et), lambda g: (0, g), memory_space=pltpu.VMEM)
-
-
-def _fs(r, c):
-    return pl.BlockSpec((r, c), lambda g: (0, 0), memory_space=pltpu.VMEM)
-
-
 def _prep(x, pt, m2T, lj, A, K, cfg):
-    """Group slots to a 128-divisible lane tile, zero-pad trailing slots,
-    and rebase lj to group-local ids."""
+    """Pad slots to the group multiple, rebase lj to group-local ids,
+    and lay x/pt/m2T out s-leading."""
     E, C = x.shape
     S, Et, Gt, E_pad = _layout(E, A, K)
     ns, nr, has_t = cfg
     slot = jnp.arange(E, dtype=jnp.int32) // (A * K)
     ljg = _pad_e(lj + ((slot % S) * A)[None, :], E_pad, 1)
-    m2Tp = _pad_e(m2T, E_pad, 1)
-    pt3 = pt.reshape(pt.shape[0], K, E)
+    m2T3 = _pad_e(m2T, E_pad, 1)[:, None, :]              # [K, 1, E_pad]
     nk = ns * nr
-    bt = _pad_e(pt3[:nk], E_pad, 2)
-    y0 = _pad_e(pt3[nk:nk + ns], E_pad, 2)
-    yt = (_pad_e(pt3[nk + ns:], E_pad, 2) if has_t
-          else jnp.zeros((1, K, E_pad), pt.dtype))
-    x3 = _pad_e(x, E_pad, 0).reshape(E_pad // K, K, C)
-    return S, Et, Gt, E_pad, C, bt, y0, yt, x3, m2Tp, ljg
+    ptp = _pad_e(pt, E_pad, 2)                             # [K, R, E_pad]
+    bt = ptp[:, :nk]
+    y0 = ptp[:, nk:nk + ns]
+    yt = (ptp[:, nk + ns:] if has_t
+          else jnp.zeros((K, 1, E_pad), pt.dtype))
+    # [E, C] (rows e = j*K + s) -> [K, N_pad, C] s-leading
+    xk = jnp.transpose(_pad_e(x, E_pad, 0).reshape(E_pad // K, K, C),
+                       (1, 0, 2))
+    return S, Et, Gt, E_pad, C, bt, y0, yt, xk, m2T3, ljg
+
+
+def _x_spec(SA, C):
+    return pl.BlockSpec((1, SA, C), lambda g, s: (s, g, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pt_spec(r, Et):
+    return pl.BlockSpec((1, r, Et), lambda g, s: (s, 0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _e_spec(Et, C):
+    return pl.BlockSpec((Et, C), lambda g, s: (g, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _m_spec(Et):
+    return pl.BlockSpec((1, 1, Et), lambda g, s: (s, 0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _lj_spec(Et):
+    return pl.BlockSpec((1, Et), lambda g, s: (0, g),
+                        memory_space=pltpu.VMEM)
+
+
+def _fs(r, c):
+    return pl.BlockSpec((r, c), lambda g, s: (0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _run_fwd(x, pt, ws, wt, m2T, lj, A, K, cfg):
     E = x.shape[0]
     ns, nr, has_t = cfg
-    fwd_body, _, _ = _make_bodies(ns, nr, has_t, K)
-    S, Et, Gt, E_pad, C, bt, y0, yt, x3, m2Tp, ljg = _prep(
+    fwd_body, _, _ = _make_bodies(ns, nr, has_t)
+    S, Et, Gt, E_pad, C, bt, y0, yt, xk, m2T3, ljg = _prep(
         x, pt, m2T, lj, A, K, cfg)
+    SA = S * A
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, body=fwd_body, A=S * A),
-        grid=(Gt,),
-        in_specs=[_x_spec(S * A, K, C), _pt_spec(bt.shape[0], K, Et),
-                  _pt_spec(y0.shape[0], K, Et), _pt_spec(yt.shape[0], K, Et),
-                  _fs(*ws.shape), _fs(*wt.shape), _k_spec(K, Et),
+        functools.partial(_fwd_kernel, body=fwd_body, A=SA),
+        grid=(Gt, K),
+        in_specs=[_x_spec(SA, C), _pt_spec(bt.shape[1], Et),
+                  _pt_spec(y0.shape[1], Et), _pt_spec(yt.shape[1], Et),
+                  _fs(*ws.shape), _fs(*wt.shape), _m_spec(Et),
                   _lj_spec(Et)],
         out_specs=_e_spec(Et, C),
         out_shape=jax.ShapeDtypeStruct((E_pad, C), x.dtype),
         compiler_params=_vmem(64),
         interpret=not _on_tpu(),
-    )(x3, bt, y0, yt, ws, wt, m2Tp, ljg)
+    )(xk, bt, y0, yt, ws, wt, m2T3, ljg)
     return out[:E]
 
 
-def _join_dpt(dbt, dy0, dyt, cfg, K, E):
-    ns, nr, has_t = cfg
+def _join_dpt(dbt, dy0, dyt, cfg, E):
+    has_t = cfg[2]
     parts = [dbt, dy0] + ([dyt] if has_t else [])
-    return jnp.concatenate(
-        [p[:, :, :E] for p in parts], axis=0).reshape(-1, K * E)
+    return jnp.concatenate([p[:, :, :E] for p in parts], axis=1)
 
 
 def _run_bwd(x, pt, ws, wt, m2T, lj, ct, A, K, cfg):
     E = x.shape[0]
     ns, nr, has_t = cfg
-    _, bwd_body, _ = _make_bodies(ns, nr, has_t, K)
-    S, Et, Gt, E_pad, C, bt, y0, yt, x3, m2Tp, ljg = _prep(
+    _, bwd_body, _ = _make_bodies(ns, nr, has_t)
+    S, Et, Gt, E_pad, C, bt, y0, yt, xk, m2T3, ljg = _prep(
         x, pt, m2T, lj, A, K, cfg)
+    SA = S * A
     ctp = _pad_e(ct, E_pad, 0)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, body=bwd_body, A=S * A),
-        grid=(Gt,),
-        in_specs=[_x_spec(S * A, K, C), _pt_spec(bt.shape[0], K, Et),
-                  _pt_spec(y0.shape[0], K, Et), _pt_spec(yt.shape[0], K, Et),
-                  _fs(*ws.shape), _fs(*wt.shape), _k_spec(K, Et),
+        functools.partial(_bwd_kernel, body=bwd_body, A=SA),
+        grid=(Gt, K),
+        in_specs=[_x_spec(SA, C), _pt_spec(bt.shape[1], Et),
+                  _pt_spec(y0.shape[1], Et), _pt_spec(yt.shape[1], Et),
+                  _fs(*ws.shape), _fs(*wt.shape), _m_spec(Et),
                   _lj_spec(Et), _e_spec(Et, C)],
-        out_specs=[_x_spec(S * A, K, C), _pt_spec(bt.shape[0], K, Et),
-                   _pt_spec(y0.shape[0], K, Et),
-                   _pt_spec(yt.shape[0], K, Et),
+        out_specs=[_x_spec(SA, C), _pt_spec(bt.shape[1], Et),
+                   _pt_spec(y0.shape[1], Et), _pt_spec(yt.shape[1], Et),
                    _fs(*ws.shape), _fs(*wt.shape)],
         out_shape=[
-            jax.ShapeDtypeStruct((E_pad // K, K, C), x.dtype),
+            jax.ShapeDtypeStruct(xk.shape, x.dtype),
             jax.ShapeDtypeStruct(bt.shape, pt.dtype),
             jax.ShapeDtypeStruct(y0.shape, pt.dtype),
             jax.ShapeDtypeStruct(yt.shape, pt.dtype),
             jax.ShapeDtypeStruct(ws.shape, jnp.float32),
             jax.ShapeDtypeStruct(wt.shape, jnp.float32),
         ],
-        compiler_params=_vmem(100),
+        compiler_params=_vmem(64),
         interpret=not _on_tpu(),
-    )(x3, bt, y0, yt, ws, wt, m2Tp, ljg, ctp)
-    dx3, dbt, dy0, dyt, dws, dwt = outs
-    return (dx3.reshape(E_pad, C)[:E], _join_dpt(dbt, dy0, dyt, cfg, K, E),
+    )(xk, bt, y0, yt, ws, wt, m2T3, ljg, ctp)
+    dxk, dbt, dy0, dyt, dws, dwt = outs
+    dx = jnp.transpose(dxk, (1, 0, 2)).reshape(E_pad, C)[:E]
+    return (dx, _join_dpt(dbt, dy0, dyt, cfg, E),
             dws.astype(ws.dtype), dwt.astype(wt.dtype))
 
 
 def _run_bwd2(x, pt, ws, wt, m2T, lj, ct, u1, u2, u4, u5, A, K, cfg):
     E = x.shape[0]
     ns, nr, has_t = cfg
-    _, _, bwd2_terms = _make_bodies(ns, nr, has_t, K)
-    S, Et, Gt, E_pad, C, bt, y0, yt, x3, m2Tp, ljg = _prep(
+    _, _, bwd2_body = _make_bodies(ns, nr, has_t)
+    S, Et, Gt, E_pad, C, bt, y0, yt, xk, m2T3, ljg = _prep(
         x, pt, m2T, lj, A, K, cfg)
+    SA = S * A
     ctp = _pad_e(ct, E_pad, 0)
-    u13 = _pad_e(u1, E_pad, 0).reshape(E_pad // K, K, C)
+    u1k = jnp.transpose(_pad_e(u1, E_pad, 0).reshape(E_pad // K, K, C),
+                        (1, 0, 2))
     nk = ns * nr
-    u23 = u2.reshape(u2.shape[0], K, E)
-    ub = _pad_e(u23[:nk], E_pad, 2)
-    uy0 = _pad_e(u23[nk:nk + ns], E_pad, 2)
-    uyt = (_pad_e(u23[nk + ns:], E_pad, 2) if has_t
-           else jnp.zeros((1, K, E_pad), u2.dtype))
+    u2p = _pad_e(u2, E_pad, 2)
+    ub = u2p[:, :nk]
+    uy0 = u2p[:, nk:nk + ns]
+    uyt = (u2p[:, nk + ns:] if has_t
+           else jnp.zeros((K, 1, E_pad), u2.dtype))
     outs = pl.pallas_call(
-        functools.partial(_bwd2_kernel, body2=bwd2_terms, A=S * A),
-        grid=(Gt,),
-        in_specs=[_x_spec(S * A, K, C), _pt_spec(bt.shape[0], K, Et),
-                  _pt_spec(y0.shape[0], K, Et), _pt_spec(yt.shape[0], K, Et),
-                  _fs(*ws.shape), _fs(*wt.shape), _k_spec(K, Et),
+        functools.partial(_bwd2_kernel, body=bwd2_body, A=SA),
+        grid=(Gt, K),
+        in_specs=[_x_spec(SA, C), _pt_spec(bt.shape[1], Et),
+                  _pt_spec(y0.shape[1], Et), _pt_spec(yt.shape[1], Et),
+                  _fs(*ws.shape), _fs(*wt.shape), _m_spec(Et),
                   _lj_spec(Et), _e_spec(Et, C),
-                  _x_spec(S * A, K, C), _pt_spec(ub.shape[0], K, Et),
-                  _pt_spec(uy0.shape[0], K, Et),
-                  _pt_spec(uyt.shape[0], K, Et),
+                  _x_spec(SA, C), _pt_spec(ub.shape[1], Et),
+                  _pt_spec(uy0.shape[1], Et), _pt_spec(uyt.shape[1], Et),
                   _fs(*ws.shape), _fs(*wt.shape)],
-        out_specs=[_x_spec(S * A, K, C), _pt_spec(bt.shape[0], K, Et),
-                   _pt_spec(y0.shape[0], K, Et),
-                   _pt_spec(yt.shape[0], K, Et),
+        out_specs=[_x_spec(SA, C), _pt_spec(bt.shape[1], Et),
+                   _pt_spec(y0.shape[1], Et), _pt_spec(yt.shape[1], Et),
                    _fs(*ws.shape), _fs(*wt.shape), _e_spec(Et, C)],
         out_shape=[
-            jax.ShapeDtypeStruct((E_pad // K, K, C), x.dtype),
+            jax.ShapeDtypeStruct(xk.shape, x.dtype),
             jax.ShapeDtypeStruct(bt.shape, pt.dtype),
             jax.ShapeDtypeStruct(y0.shape, pt.dtype),
             jax.ShapeDtypeStruct(yt.shape, pt.dtype),
@@ -396,12 +391,13 @@ def _run_bwd2(x, pt, ws, wt, m2T, lj, ct, u1, u2, u4, u5, A, K, cfg):
             jax.ShapeDtypeStruct(wt.shape, jnp.float32),
             jax.ShapeDtypeStruct((E_pad, C), ct.dtype),
         ],
-        compiler_params=_vmem(120),
+        compiler_params=_vmem(64),
         interpret=not _on_tpu(),
-    )(x3, bt, y0, yt, ws, wt, m2Tp, ljg, ctp, u13, ub, uy0, uyt,
+    )(xk, bt, y0, yt, ws, wt, m2T3, ljg, ctp, u1k, ub, uy0, uyt,
       u4.astype(jnp.float32), u5.astype(jnp.float32))
-    xb3, btb, y0b, ytb, wsb, wtb, ctb = outs
-    return (xb3.reshape(E_pad, C)[:E], _join_dpt(btb, y0b, ytb, cfg, K, E),
+    xb, btb, y0b, ytb, wsb, wtb, ctb = outs
+    xbe = jnp.transpose(xb, (1, 0, 2)).reshape(E_pad, C)[:E]
+    return (xbe, _join_dpt(btb, y0b, ytb, cfg, E),
             wsb.astype(ws.dtype), wtb.astype(wt.dtype), ctb[:E])
 
 
@@ -436,13 +432,12 @@ def fused_triplet_slot(x, pt, ws, wt, m2T, lj, A: int, K: int, cfg):
     * (sbf[e, s] @ ws) * (tbf[e, s] @ wt)
 
     Slot-resident fused triplet interaction: ``x [E, C]`` edge features
-    in the slot-aligned NK layout (E = G*A*K), ``pt [R, K*E]`` packed
-    transposed basis S-MAJOR (column s*E + e; rows as
-    :func:`pallas_triplet_pt.basis_pt`), ``m2T [K, E]`` transposed
-    triplet mask, ``lj [1, E]`` slot-local sender ids
-    (senders - slot*A, int32). ``cfg`` = (num_spherical, num_radial,
-    has_t) static. Differentiable to second order; no [T, C] tensor
-    exists at any AD level. Returns [E, C] in x's dtype.
+    in the slot-aligned NK layout (E = G*A*K), ``pt [K, R, E]`` packed
+    basis S-LEADING (:func:`basis_pt_k`), ``m2T [K, E]`` transposed
+    triplet mask, ``lj [1, E]`` slot-local sender ids (senders -
+    slot*A, int32). ``cfg`` = (num_spherical, num_radial, has_t)
+    static. Differentiable to second order; no [T, C] tensor exists at
+    any AD level. Returns [E, C] in x's dtype.
     """
     return _run_fwd(x, pt, ws, wt, m2T, lj, A, K, cfg)
 
@@ -464,21 +459,22 @@ fused_triplet_slot.defvjp(_F_fwd, _F_bwd)
 
 
 def fused_triplet_slot_ref(x, pt, ws, wt, m2T, lj, A, K, cfg):
-    """XLA oracle: same math staged out of the kernel harness (whole
-    batch as one 'slot-tile' per slot, via vmap over slots)."""
+    """XLA oracle: same math staged out of the kernel harness (global
+    one-hot gather, one s at a time over the whole batch)."""
     ns, nr, has_t = cfg
-    fwd_body, _, _ = _make_bodies(ns, nr, has_t, K)
+    fwd_body, _, _ = _make_bodies(ns, nr, has_t)
     E, C = x.shape
-    G = E // (A * K)
-    Et = A * K
-    bt, y0, yt = _split_pt3(pt, cfg, K, E)
-    x3 = x.reshape(G, A, K, C)
-
-    def one(g):
-        sl = slice(g * Et, (g + 1) * Et)
-        oh = (jnp.arange(A)[:, None] == lj[0, sl][None, :])
-        return fwd_body(x3[g], bt[:, :, sl], y0[:, :, sl], yt[:, :, sl],
-                        ws, wt, oh.astype(jnp.float32),
-                        m2T[:, sl].astype(jnp.float32))
-
-    return jnp.concatenate([one(g) for g in range(G)], axis=0).astype(x.dtype)
+    nk = ns * nr
+    N = E // K
+    xk = x.reshape(N, K, C).transpose(1, 0, 2)            # [K, N, C]
+    slot = jnp.arange(E, dtype=jnp.int32) // (A * K)
+    jg = slot * A + lj[0]                                 # global sender
+    parts = []
+    for s in range(K):
+        oh = (jnp.arange(N)[:, None] == jg[None, :]).astype(jnp.float32)
+        ohm = oh * m2T[s][None, :]
+        parts.append(fwd_body(xk[s], pt[s, :nk], pt[s, nk:nk + ns],
+                              (pt[s, nk + ns:] if has_t
+                               else jnp.zeros((1, E), pt.dtype)),
+                              ws, wt, ohm))
+    return sum(parts).astype(x.dtype)

@@ -20,7 +20,7 @@ def _inputs(A=5, K=4, G=3, C=8, ns=3, nr=2, has_t=True, seed=0):
     lj_loc = rng.integers(0, A, size=E).astype(np.int32)
     m2 = jnp.asarray((rng.random((E, K)) > 0.3).astype(np.float32))
     pt_e = jnp.asarray(rng.normal(size=(R, T)).astype(np.float32))
-    pt_s = pt_e.reshape(R, E, K).transpose(0, 2, 1).reshape(R, K * E)
+    pt_s = pt_e.reshape(R, E, K).transpose(2, 0, 1)      # [K, R, E]
     ws = jnp.asarray(rng.normal(size=(ns * nr, C)).astype(np.float32))
     wt = jnp.asarray(rng.normal(
         size=((ns * ns * nr) if has_t else 1, C)).astype(np.float32))
