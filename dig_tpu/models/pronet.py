@@ -21,7 +21,7 @@ from ..ops import segment_sum
 from ..ops.basis import bessel_table, sph_full_table, sph_m0_table
 from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
-from ..ops.triplets import edge_distances, nk_gather
+from ..ops.triplets import nk_gather
 from .comenet import EdgeGraphConv, TwoLayerLinear, swish
 
 xavier = jax.nn.initializers.glorot_uniform()
@@ -43,6 +43,38 @@ def _safe_atan2(b, a):
 
 def _cross_norm(v):
     return jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), 1e-12))
+
+
+# Componentwise 3-vector algebra (structure-of-arrays): a trailing dim of
+# 3 lane-pads to 128 on TPU (~42x physical bytes) and jnp.cross defeats
+# fusion — per-edge geometry on [E, 3] arrays was ~25% of the ProNet
+# step. Vectors are (x, y, z) tuples of [E] arrays here; see the same
+# convention in ops/triplets.py::_components.
+
+def _col3(t, o):
+    return t[:, o], t[:, o + 1], t[:, o + 2]
+
+
+def _sub3(a, b):
+    return a[0] - b[0], a[1] - b[1], a[2] - b[2]
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _norm3(a):
+    return jnp.sqrt(jnp.maximum(_dot3(a, a), 1e-12))
+
+
+def _where3(c, a, b):
+    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
 
 
 class ProNetInteraction(nn.Module):
@@ -166,11 +198,6 @@ class ProNet(nn.Module):
             def edge_of_nbr(t):    # t [N, C] -> [E, C] at the sender
                 return nk_gather(t, nkg.nbr_idx, nkg.rev_edge,
                                  nkg.nbr_mask)
-
-            ev = (edge_of_nbr(pos) - edge_of_node(pos))
-            dist = jnp.where(edge_mask,
-                             jnp.sqrt(jnp.maximum(
-                                 jnp.sum(ev * ev, -1), 1e-12)), 1.0)
         else:
             nkg = None
             senders, receivers, edge_mask = radius_graph_flat(
@@ -178,7 +205,6 @@ class ProNet(nn.Module):
                 self.max_edges,
                 max_num_neighbors=self.max_num_neighbors)
             j, i = senders, receivers
-            dist = edge_distances(pos, senders, receivers, edge_mask)
 
             def edge_of_node(t):
                 return t[i]
@@ -196,20 +222,33 @@ class ProNet(nn.Module):
         pos_emb = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], -1)
 
         # theta/phi from sequential reference residues (pronet.py:395-409)
-        # — per-node reference tables (rolls), broadcast/gathered per edge
+        # — per-node reference tables (rolls) packed into ONE [N, 9|15]
+        # table so the sender side costs a single row gather; all edge-
+        # level vector algebra is componentwise (see _col3/_cross3 note)
         rm1 = jnp.roll(pos, 1, axis=0) - pos    # pos[(n-1)%N] - pos[n]
         rp1 = jnp.roll(pos, -1, axis=0) - pos   # pos[(n+1)%N] - pos[n]
-        v_ji = edge_of_nbr(pos) - edge_of_node(pos)
-        v_ref0 = edge_of_node(rm1)
-        v_b1 = edge_of_node(rp1)                # pos[refi1] - pos[i]
-        a = jnp.sum(v_ji * v_ref0, -1)
-        b = _cross_norm(jnp.cross(v_ji, v_ref0))
+        cols = [pos, rm1, rp1]
+        if self.level != "aminoacid":
+            pos_n = g.nodes["pos_n"]
+            pos_c = g.nodes["pos_c"]
+            o1x_n = pos_n - pos
+            o1z_n = jnp.cross(o1x_n, jnp.cross(o1x_n, pos_c - pos))
+            cols += [o1x_n, o1z_n]
+        tab = jnp.concatenate(cols, axis=1)
+        gn = edge_of_node(tab)
+        ge = edge_of_nbr(tab)
+        v_ji = _sub3(_col3(ge, 0), _col3(gn, 0))
+        dist = jnp.where(edge_mask, _norm3(v_ji), 1.0)
+        v_ref0 = _col3(gn, 3)
+        v_b1 = _col3(gn, 6)                     # pos[refi1] - pos[i]
+        a = _dot3(v_ji, v_ref0)
+        b = _norm3(_cross3(v_ji, v_ref0))
         theta = _safe_atan2(b, a)
-        plane1 = jnp.cross(v_ref0, v_b1)
-        plane2 = jnp.cross(v_ref0, v_ji)
-        a = jnp.sum(plane1 * plane2, -1)
-        b = (jnp.sum(jnp.cross(plane1, plane2) * v_ref0, -1)
-             / jnp.maximum(_cross_norm(v_ref0), 1e-9))
+        plane1 = _cross3(v_ref0, v_b1)
+        plane2 = _cross3(v_ref0, v_ji)
+        a = _dot3(plane1, plane2)
+        b = (_dot3(_cross3(plane1, plane2), v_ref0)
+             / jnp.maximum(_norm3(v_ref0), 1e-9))
         phi = _safe_atan2(b, a)
 
         n, k = self.num_spherical, self.num_radial
@@ -228,38 +267,34 @@ class ProNet(nn.Module):
             # reference-residue choice (i±1 / j±1, avoiding the edge
             # partner) selects between the two per-node roll vectors
             c_i = ((i - 1) % N) == j
-            v_refi = jnp.where(c_i[:, None], v_b1, v_ref0)
-            gj = edge_of_nbr(jnp.concatenate([rm1, rp1], axis=1))
+            v_refi = _where3(c_i, v_b1, v_ref0)
             c_j = ((j - 1) % N) == i
-            v_refj = jnp.where(c_j[:, None], gj[:, 3:], gj[:, :3])
-            p1 = jnp.cross(v_ji, v_refi)
-            p2 = jnp.cross(v_ji, v_refj)
-            a = jnp.sum(p1 * p2, -1)
-            b = (jnp.sum(jnp.cross(p1, p2) * v_ji, -1)
+            v_refj = _where3(c_j, _col3(ge, 6), _col3(ge, 3))
+            p1 = _cross3(v_ji, v_refi)
+            p2 = _cross3(v_ji, v_refj)
+            a = _dot3(p1, p2)
+            b = (_dot3(_cross3(p1, p2), v_ji)
                  / jnp.maximum(dist, 1e-9))
             tau = _safe_atan2(b, a)
             feature1 = d_angle(tau)
         else:
-            # backbone-frame Euler angles (pronet.py:411-433)
-            pos_n = g.nodes["pos_n"]
-            pos_c = g.nodes["pos_c"]
-            o1x_n = pos_n - pos
-            o1z_n = jnp.cross(o1x_n, jnp.cross(o1x_n, pos_c - pos))
-            o1x = edge_of_node(o1x_n)
-            o1z = edge_of_node(o1z_n)
-            o1zl = _cross_norm(o1z) + 1e-7
-            o2 = edge_of_nbr(jnp.concatenate([o1x_n, o1z_n], axis=1))
-            o2x, o2z = o2[:, :3], o2[:, 3:]
-            o2zl = _cross_norm(o2z) + 1e-7
-            nvec = jnp.cross(o1z, o2z)
+            # backbone-frame Euler angles (pronet.py:411-433); o1x/o1z
+            # ride the packed node table (columns 9..14)
+            o1x = _col3(gn, 9)
+            o1z = _col3(gn, 12)
+            o1zl = _norm3(o1z) + 1e-7
+            o2x = _col3(ge, 9)
+            o2z = _col3(ge, 12)
+            o2zl = _norm3(o2z) + 1e-7
+            nvec = _cross3(o1z, o2z)
             angle1 = _safe_atan2(
-                jnp.sum(jnp.cross(o1x, nvec) * o1z, -1) / o1zl,
-                jnp.sum(o1x * nvec, -1))
-            angle2 = _safe_atan2(_cross_norm(jnp.cross(o1z, o2z)),
-                                 jnp.sum(o1z * o2z, -1))
+                _dot3(_cross3(o1x, nvec), o1z) / o1zl,
+                _dot3(o1x, nvec))
+            angle2 = _safe_atan2(_norm3(_cross3(o1z, o2z)),
+                                 _dot3(o1z, o2z))
             angle3 = _safe_atan2(
-                jnp.sum(jnp.cross(nvec, o2x) * o2z, -1) / o2zl,
-                jnp.sum(nvec * o2x, -1))
+                _dot3(_cross3(nvec, o2x), o2z) / o2zl,
+                _dot3(nvec, o2x))
             if self.euler_noise and not deterministic:
                 noise = clipped_noise((3,) + angle1.shape)
                 angle1, angle2, angle3 = (angle1 + noise[0],

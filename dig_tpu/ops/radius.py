@@ -234,16 +234,28 @@ def radius_graph_nk_blocked(pos: Array, node_mask: Array, cutoff: float,
     lidx = jnp.where(nbr_mask, lidx, 0).astype(jnp.int32)
 
     # symmetrize: keep an edge only with its reverse (matches flat builder)
-    kept = jnp.any((lidx[:, :, :, None]
-                    == jnp.arange(block)[None, None, None, :])
-                   & nbr_mask[:, :, :, None], axis=2)     # [nb, B, B]
-    mutual = jnp.take_along_axis(
-        kept.transpose(0, 2, 1), lidx, axis=2)            # kept[b, lidx, i]
+    oh = (lidx[..., None]
+          == jnp.arange(block)[None, None, None, :])     # [nb, B, K, B(m)]
+    kept = jnp.any(oh & nbr_mask[:, :, :, None], axis=2)  # [nb, B(m'), B]
+    # mutual[b, i, d] = kept[b, lidx[b, i, d], i], as a masked any over
+    # the m axis — take_along_axis lowers to a scalar-granularity gather
+    # (measured 2.4 GB/s; 9.5% of the ProNet train step)
+    keptT = kept.transpose(0, 2, 1)                       # [nb, B(i), B(m)]
+    mutual = jnp.any(oh & keptT[:, :, None, :], axis=3)
     nbr_mask = nbr_mask & mutual
 
-    # rev_slot[b, i, d] = position of i in row lidx[b, i, d]
-    nbr_of_m = jax.vmap(lambda lb: lb[lb])(lidx)          # [nb, B, K, K]
-    nm_of = jax.vmap(lambda mb, lb: mb[lb])(nbr_mask, lidx)
+    # rev_slot[b, i, d] = position of i in row lidx[b, i, d]; the row
+    # gathers lidx[lidx] / mask[lidx] run as one-hot contractions on the
+    # MXU instead (vmap'd row gathers measured 17 GB/s). Values < 2^24,
+    # exact in f32.
+    kd = lidx.shape[2]
+    ohf = oh.reshape(nb, block * kd, block).astype(jnp.float32)
+    nbr_of_m = jnp.einsum(
+        "bem,bmk->bek", ohf, lidx.astype(jnp.float32)
+    ).reshape(nb, block, kd, kd).astype(jnp.int32)        # [nb, B, K, K]
+    nm_of = jnp.einsum(
+        "bem,bmk->bek", ohf, nbr_mask.astype(jnp.float32)
+    ).reshape(nb, block, kd, kd) > 0.5
     hit = ((nbr_of_m == jnp.arange(block)[None, :, None, None]) & nm_of)
     rev_slot = jnp.argmax(hit, axis=3).astype(jnp.int32)
 

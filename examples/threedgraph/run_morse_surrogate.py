@@ -43,16 +43,15 @@ valid = mols[args.n_train:args.n_train + args.n_valid]
 test = mols[args.n_train + args.n_valid:]
 
 if args.model == "spherenet":
-    # the round-2 fast path: blocked slot-aligned radius build + fused
-    # Pallas triplet kernel. Force training differentiates the energy
-    # TWICE (d/dparams of dE/dpos); the kernel's custom_vjp is first-order
-    # only, so --forces falls back to the XLA triplet chain (same as the
-    # reference's double-autograd pass, run.py:126).
+    # the round-4 fast path: slot-resident fused triplet kernels
+    # (ops/pallas_triplet_slot.py) — exact to second order, so BOTH
+    # energy-only and --forces (d/dparams of dE/dpos, the reference's
+    # double-autograd pass at run.py:126) run fully fused.
     model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                       num_spherical=3, num_radial=6, nk_degree=16,
                       block_size=29, compute_dtype=jnp.bfloat16,
-                      pallas_triplet=not args.forces,
-                      pallas_basis_grads=False)
+                      pallas_triplet=True, pallas_fuse_basis=True,
+                      pallas_slot=True)
 else:
     model = SchNet(cutoff=5.0, num_layers=4, hidden_channels=128,
                    num_filters=128, num_gaussians=50, max_edges=16384)
