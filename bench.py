@@ -591,16 +591,19 @@ def bench_ssl():
     loader = GraphClsLoader(data, 64, shuffle=True)
     enc = Encoder(feat_dim=8, hidden_dim=128, n_layers=3, gnn="gin")
     gcl = GraphCL(dim=384, aug_1="dropN", aug_2="maskN", aug_ratio=0.2)
-    gen = gcl.train(enc, loader, _optax.adam(1e-3), epochs=1,
-                    per_epoch_out=True)
-    next(iter(gen))  # compile + 1 epoch warm-up
-    t0 = _t.perf_counter()
+    # time warm epochs INSIDE one train() generator: each generator
+    # closes over a fresh jitted step, so timing a second generator
+    # re-traces and re-compiles — that measured XLA lowering, not
+    # training (178 vs ~1900 graphs/s; caught round 4)
     epochs = 3
-    for res in gcl.train(enc, loader, _optax.adam(1e-3), epochs=epochs,
-                         per_epoch_out=True):
-        last = res
+    gen = gcl.train(enc, loader, _optax.adam(1e-3), epochs=1 + epochs,
+                    per_epoch_out=True)
+    it = iter(gen)
+    next(it)  # compile + 1 epoch warm-up
+    t0 = _t.perf_counter()
+    for _ in range(epochs):
+        next(it)
     dt = (_t.perf_counter() - t0) / epochs
-    del last
     graphs = (len(data) // 64) * 64
     return {"graphcl_pretrain_graphs_per_s": round(graphs / dt, 1)}
 
