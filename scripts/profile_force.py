@@ -91,37 +91,51 @@ def main():
     dt = time.perf_counter() - t0
     print(f"epoch: {dt*1e3:.1f} ms, step: {dt/n_steps*1e3:.2f} ms")
 
-    tdir = "/tmp/force_trace"
+    # fresh dir per run: a stale trace from an earlier capture must never
+    # be parsed as this one (ADVICE r4), and mtime — not lexicographic
+    # sort — picks the newest file
+    import tempfile
+    tdir = tempfile.mkdtemp(prefix="force_trace_")
     t0 = time.perf_counter()
     with jax.profiler.trace(tdir):
         params, opt_state, losses = epoch(params, opt_state, stacked)
         float(losses[-1])
     print(f"trace capture: {time.perf_counter()-t0:.1f} s", flush=True)
 
-    # Parse the trace: sum durations per op name on the device track.
-    files = sorted(glob.glob(tdir + "/**/*.trace.json.gz", recursive=True))
+    # Parse the trace: sum durations per op name, restricted to 'XLA Ops'
+    # tids — TPU exports nest 'XLA Modules'/'Steps' tracks over 'XLA Ops'
+    # under the same pid, so summing every tid double-counts (ADVICE r4).
+    files = glob.glob(tdir + "/**/*.trace.json.gz", recursive=True)
     if not files:
         print("no trace found under", tdir)
         return
-    with gzip.open(files[-1], "rt") as f:
+    with gzip.open(max(files, key=os.path.getmtime), "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # find device pids (TPU/device threads)
-    pid_names = {}
+    # find device pids (TPU/device threads) and their 'XLA Ops' tids
+    pid_names, tid_names = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "/device" in n.lower() or "Axon" in n}
+    op_tids = {(p, t) for (p, t), n in tid_names.items()
+               if p in dev_pids and "XLA Ops" in n}
+    if not op_tids:  # no thread metadata: fall back to every device tid
+        op_tids = None
     tot = {}
     total = 0.0
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids and (
+                op_tids is None or (e["pid"], e.get("tid")) in op_tids):
             name = e.get("name", "")
             dur = e.get("dur", 0)
             tot[name] = tot.get(name, 0.0) + dur
             total += dur
-    print(f"\ndevice pids: { {p: pid_names[p] for p in dev_pids} }")
+    print(f"\ndevice pids: { {p: pid_names[p] for p in dev_pids} }"
+          f" (XLA Ops tids only: {op_tids is not None})")
     print(f"total device time: {total/1e3:.1f} ms")
     for name, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{dur/1e3:9.2f} ms  {100*dur/max(total,1):5.1f}%  {name[:110]}")
