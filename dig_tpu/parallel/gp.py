@@ -126,7 +126,8 @@ def node_reg_loss(out, y, mask):
 def make_gp_engine(mesh: Mesh, module, opt, halo_size: int,
                    nodes_per_part: int,
                    loss_fn: Callable = node_class_loss,
-                   axis: str = "data", extra_halo_inputs: int = 0):
+                   axis: str = "data", extra_halo_inputs: int = 0,
+                   data_axis: Optional[str] = None):
     """Graph-parallel trainer for any ``module(x, g, halo_fn)`` flax model.
 
     Returns ``(init_fn, step_fn, predict_fn)``:
@@ -138,60 +139,90 @@ def make_gp_engine(mesh: Mesh, module, opt, halo_size: int,
 
     The module may call ``halo_fn`` any number of times (once per layer);
     each call is one all_to_all over ICI.
+
+    **DP x GP (2-D mesh, SURVEY §7's ``Mesh(('data','graph'))``)**: pass
+    ``data_axis`` and a mesh with both axes. Every graph/feature input
+    grows a LEADING replica-batch axis sharded over ``data_axis``
+    (``[D, P, ...]``); each data row trains the shared params on its own
+    partitioned graph (or mask-disjoint node minibatch of the same
+    graph), the halo all_to_all stays inside the graph axis (shard_map
+    runs it independently per data row), and the gradient/loss psum spans
+    BOTH axes with global count normalization — so D rows with disjoint
+    masks compute exactly the single-row full-batch update (parity test:
+    ``tests/test_parallel.py::test_gp_dp_2d_mesh``).
     """
     C = nodes_per_part
     H = halo_size
+    axes = (axis,) if data_axis is None else (axis, data_axis)
+
+    def _squeeze(a):
+        return a[0] if data_axis is None else a[0, 0]
 
     def init_fn(key, x0, g: GPGraph):
-        gl = _local(jax.tree.map(lambda a: a[:1], g), C)
-        return module.init(key, jnp.asarray(x0[0]), gl, _stub_halo(H))
+        gl = _local2(g)
+        return module.init(key, jnp.asarray(_squeeze(jnp.asarray(x0))),
+                           gl, _stub_halo(H))
+
+    def _local2(g: GPGraph) -> GPLocalGraph:
+        return GPLocalGraph(senders=_squeeze(g.senders),
+                            receivers=_squeeze(g.receivers),
+                            edge_mask=_squeeze(g.edge_mask),
+                            node_mask=_squeeze(g.node_mask),
+                            deg_out=_squeeze(g.deg_out), num_local=C)
 
     def _make_halo_fn(g: GPGraph):
         def halo_fn(h):
-            return halo_exchange_a2a(h, g.send_slot[0], g.send_mask[0],
-                                     g.recv_pos[0], H, axis)
+            return halo_exchange_a2a(h, _squeeze(g.send_slot),
+                                     _squeeze(g.send_mask),
+                                     _squeeze(g.recv_pos), H, axis)
         return halo_fn
 
+    def _expand(a):
+        return a[None] if data_axis is None else a[None, None]
+
     def shard_train(params, opt_state, g: GPGraph, x, y, mask):
-        gl = _local(g, C)
+        gl = _local2(g)
         halo_fn = _make_halo_fn(g)
 
         def loss(p):
-            out = module.apply(p, x[0], gl, halo_fn)
-            loc, cnt = loss_fn(out, y[0], mask[0] & gl.node_mask)
+            out = module.apply(p, _squeeze(x), gl, halo_fn)
+            loc, cnt = loss_fn(out, _squeeze(y),
+                               _squeeze(mask) & gl.node_mask)
             return loc, (cnt, out)
 
         (loc, (cnt, out)), grads = jax.value_and_grad(
             loss, has_aux=True)(params)
-        tot = jax.lax.psum(loc, axis)
-        n = jnp.maximum(jax.lax.psum(cnt, axis), 1)
+        tot = jax.lax.psum(loc, axes)
+        n = jnp.maximum(jax.lax.psum(cnt, axes), 1)
         grads = jax.tree_util.tree_map(
-            lambda gr: jax.lax.psum(gr, axis) / n, grads)
+            lambda gr: jax.lax.psum(gr, axes) / n, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, tot / n, out[None]
+        return params, opt_state, tot / n, _expand(out)
 
     def shard_fwd(params, g: GPGraph, x):
-        gl = _local(g, C)
-        out = module.apply(params, x[0], gl, _make_halo_fn(g))
-        return out[None]
+        gl = _local2(g)
+        out = module.apply(params, _squeeze(x), gl, _make_halo_fn(g))
+        return _expand(out)
 
-    gp_spec = GPGraph(senders=P(axis), receivers=P(axis), edge_mask=P(axis),
-                      node_mask=P(axis), deg_out=P(axis),
-                      send_slot=P(axis), send_mask=P(axis),
-                      recv_pos=P(axis))
+    sharded = (P(axis) if data_axis is None
+               else P(data_axis, axis))
+    gp_spec = GPGraph(senders=sharded, receivers=sharded, edge_mask=sharded,
+                      node_mask=sharded, deg_out=sharded,
+                      send_slot=sharded, send_mask=sharded,
+                      recv_pos=sharded)
 
     step = jax.jit(shard_map(
         shard_train, mesh=mesh,
-        in_specs=(P(), P(), gp_spec, P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(), P(axis)),
+        in_specs=(P(), P(), gp_spec, sharded, sharded, sharded),
+        out_specs=(P(), P(), P(), sharded),
         check_vma=False,
     ), donate_argnums=(0, 1))
 
     predict = jax.jit(shard_map(
         shard_fwd, mesh=mesh,
-        in_specs=(P(), gp_spec, P(axis)),
-        out_specs=P(axis),
+        in_specs=(P(), gp_spec, sharded),
+        out_specs=sharded,
         check_vma=False,
     ))
 

@@ -54,6 +54,166 @@ def make_value_func(model, params, target_class: int,
     return vf
 
 
+def make_batched_value_func(model, params, target_class: int,
+                            node_idx: Optional[int] = None,
+                            subgraph_building_method="zero_filling",
+                            batch_fn=None):
+    """Batched coalition scoring: ONE jitted vmapped forward over a stack
+    of node masks — the reference's ``MarginalSubgraphDataset`` batching
+    (``dig/xgraph/method/shapley.py:44-98``), TPU-style: every masked copy
+    rides one dispatch and XLA batches the convolutions onto the MXU.
+    Round 4's sequential path paid one host->device round trip (10-30 ms
+    through the tunnel) per mask — ~100 s/graph in the benchmark sweep.
+
+    Returns ``vf_batch(g, masks: list[np [N]]) -> np [B]``. Masks are
+    padded to power-of-two buckets (min 64) so distinct batch sizes don't
+    recompile. ``batch_fn`` lets the explainer cache the jitted inner
+    across labels/targets (row/class are runtime args, not trace consts).
+    """
+    zero = subgraph_building_method == "zero_filling"
+
+    if batch_fn is None:
+        batch_fn = make_batched_probs_fn(model, zero)
+
+    def vf_batch(g, masks_np):
+        B = len(masks_np)
+        if B == 0:
+            return np.zeros(0, np.float32)
+        N = masks_np[0].shape[-1]
+        Bp = max(64, 1 << (B - 1).bit_length())
+        masks = np.zeros((Bp, N), np.float32)
+        masks[:B] = np.stack(masks_np)
+        row = 0 if node_idx is None else node_idx
+        vals = batch_fn(params, g, jnp.asarray(masks),
+                        jnp.int32(row), jnp.int32(target_class))
+        return np.asarray(vals)[:B]
+
+    return vf_batch
+
+
+def make_batched_probs_fn(model, zero_filling: bool):
+    """The cacheable jitted inner of :func:`make_batched_value_func`."""
+
+    @jax.jit
+    def batch_fn(params, g, masks, row, cls):
+        def one(mask):
+            if zero_filling:
+                g2 = g.replace_nodes(x=g.nodes["x"] * mask[:, None])
+            else:
+                keep = mask.astype(bool)
+                em = g.edge_mask & keep[g.senders] & keep[g.receivers]
+                g2 = g.replace(edge_mask=em)
+            probs = jax.nn.softmax(model.apply(params, g2, None), -1)
+            return probs[row, cls]
+        return jax.vmap(one)(masks)
+
+    return batch_fn
+
+
+def _local_region(coalition, g, local_radius):
+    from .base import k_hop_subgraph
+    local_nodes = set()
+    for v in coalition:
+        nodes, _ = k_hop_subgraph(v, local_radius - 1, g.senders,
+                                  g.receivers, g.edge_mask, g.num_nodes)
+        local_nodes |= set(nodes.tolist())
+    return sorted(local_nodes)
+
+
+def _masks_for(coalition, g, method, local_radius, sample_num, node_idx,
+               seed):
+    """(exclude, include, weights|None) mask stacks for one coalition —
+    shared by the sequential scorers and :func:`score_coalitions`."""
+    N = g.num_nodes
+    coalition = list(coalition)
+    rng = np.random.default_rng(seed)
+    if method == "mc_shapley":
+        node_mask = np.asarray(g.node_mask)
+        real = np.flatnonzero(node_mask)
+        others = np.asarray([n for n in real if n not in set(coalition)],
+                            np.int64)
+        ex_masks, inc_masks = [], []
+        for _ in range(sample_num):
+            perm = rng.permutation(others)
+            split = rng.integers(0, len(others) + 1)
+            ex = np.zeros(N, np.float32)
+            ex[perm[:split]] = 1.0
+            inc = ex.copy()
+            inc[coalition] = 1.0
+            ex_masks.append(ex)
+            inc_masks.append(inc)
+        return ex_masks, inc_masks, None
+    local_region = _local_region(coalition, g, local_radius)
+    others = np.asarray([n for n in local_region
+                         if n not in set(coalition)], np.int64)
+    if method == "l_shapley":
+        import itertools
+        import math
+        ex_masks, inc_masks, weights = [], [], []
+        n = len(local_region)
+        for r in range(len(others) + 1):
+            w = (math.factorial(r) * math.factorial(n - r - 1)
+                 / math.factorial(n)) if n > 0 else 1.0
+            for subset in itertools.combinations(others, r):
+                ex = np.ones(N, np.float32)
+                ex[local_region] = 0.0
+                ex[list(subset)] = 1.0
+                inc = ex.copy()
+                inc[coalition] = 1.0
+                ex_masks.append(ex)
+                inc_masks.append(inc)
+                weights.append(w)
+        return ex_masks, inc_masks, np.asarray(weights, np.float32)
+    # mc_l_shapley / nc_mc_l_shapley
+    ex_masks, inc_masks = [], []
+    for _ in range(sample_num):
+        perm = rng.permutation(others)
+        split = rng.integers(0, len(others) + 1)
+        ex = np.ones(N, np.float32)
+        ex[local_region] = 0.0
+        ex[perm[:split]] = 1.0
+        if method == "nc_mc_l_shapley":
+            ex[node_idx] = 1.0
+        inc = ex.copy()
+        inc[coalition] = 1.0
+        ex_masks.append(ex)
+        inc_masks.append(inc)
+    return ex_masks, inc_masks, None
+
+
+def score_coalitions(coalitions, g, vf_batch, method="mc_l_shapley", *,
+                     local_radius: int = 4, sample_num: int = 100,
+                     node_idx: Optional[int] = None, seed: int = 0):
+    """Score MANY coalitions with one batched forward. Numerically
+    identical to calling the sequential scorers per coalition (each
+    coalition draws from a fresh ``default_rng(seed)``, matching them)."""
+    N = g.num_nodes
+    masks: List[np.ndarray] = []
+    combine = []
+    for coalition in coalitions:
+        if method == "gnn_score":
+            m = np.zeros(N, np.float32)
+            m[list(coalition)] = 1.0
+            combine.append((len(masks), 1, None, True))
+            masks.append(m)
+            continue
+        ex, inc, w = _masks_for(coalition, g, method, local_radius,
+                                sample_num, node_idx, seed)
+        combine.append((len(masks), len(ex), w, False))
+        masks.extend(ex)
+        masks.extend(inc)
+    vals = vf_batch(g, masks)
+    out = []
+    for start, cnt, w, single in combine:
+        if single:
+            out.append(float(vals[start]))
+        else:
+            marg = vals[start + cnt:start + 2 * cnt] - vals[start:start + cnt]
+            out.append(float((marg * w).sum() if w is not None
+                             else marg.mean()))
+    return np.asarray(out, np.float32)
+
+
 def _marginal_contributions(g, exclude_masks, include_masks, value_func,
                             subgraph_building_method="zero_filling"):
     build = _BUILDERS[subgraph_building_method]
@@ -68,67 +228,20 @@ def _marginal_contributions(g, exclude_masks, include_masks, value_func,
 def l_shapley(coalition: Sequence[int], g: GraphBatch, local_radius: int,
               value_func, subgraph_building_method="zero_filling") -> float:
     """Local-neighborhood Shapley (reference shapley.py:100-145)."""
-    from .base import k_hop_subgraph
-    N = g.num_nodes
-    local_nodes = set()
-    for v in coalition:
-        nodes, _ = k_hop_subgraph(v, local_radius - 1, g.senders,
-                                  g.receivers, g.edge_mask, N)
-        local_nodes |= set(nodes.tolist())
-    local_region = sorted(local_nodes)
-    coalition = list(coalition)
-    coal_placeholder = N  # virtual slot marking the coalition
-    set_exclude_masks, set_include_masks = [], []
-    others = [n for n in local_region if n not in coalition]
-    import itertools
-    for r in range(len(others) + 1):
-        for subset in itertools.combinations(others, r):
-            ex = np.ones(N, np.float32)
-            ex[local_region] = 0.0
-            ex[list(subset)] = 1.0
-            inc = ex.copy()
-            inc[coalition] = 1.0
-            set_exclude_masks.append(ex)
-            set_include_masks.append(inc)
-            # weight by |S|!(n-|S|-1)!/n! handled below
-    n = len(local_region)
-    weights = []
-    idx = 0
-    import math
-    for r in range(len(others) + 1):
-        cnt = math.comb(len(others), r)
-        w = (math.factorial(r) * math.factorial(n - r - 1)
-             / math.factorial(n)) if n > 0 else 1.0
-        weights += [w] * cnt
-        idx += cnt
-    margins = _marginal_contributions(
-        g, set_exclude_masks, set_include_masks, value_func,
-        subgraph_building_method)
-    return float(np.sum(np.asarray(weights) * margins))
+    ex, inc, w = _masks_for(coalition, g, "l_shapley", local_radius,
+                            0, None, 0)
+    margins = _marginal_contributions(g, ex, inc, value_func,
+                                      subgraph_building_method)
+    return float(np.sum(w * margins))
 
 
 def mc_shapley(coalition: Sequence[int], g: GraphBatch,
                value_func, subgraph_building_method="zero_filling",
                sample_num: int = 100, seed: int = 0) -> float:
     """Monte-Carlo Shapley over all nodes (reference shapley.py:148-179)."""
-    N = g.num_nodes
-    node_mask = np.asarray(g.node_mask)
-    real = np.flatnonzero(node_mask)
-    others = np.asarray([n for n in real if n not in set(coalition)],
-                        np.int64)
-    rng = np.random.default_rng(seed)
-    ex_masks, inc_masks = [], []
-    for _ in range(sample_num):
-        perm = rng.permutation(others)
-        split = rng.integers(0, len(others) + 1)
-        selected = perm[:split]
-        ex = np.zeros(N, np.float32)
-        ex[selected] = 1.0
-        inc = ex.copy()
-        inc[list(coalition)] = 1.0
-        ex_masks.append(ex)
-        inc_masks.append(inc)
-    margins = _marginal_contributions(g, ex_masks, inc_masks, value_func,
+    ex, inc, _ = _masks_for(coalition, g, "mc_shapley", 0, sample_num,
+                            None, seed)
+    margins = _marginal_contributions(g, ex, inc, value_func,
                                       subgraph_building_method)
     return float(margins.mean())
 
@@ -138,30 +251,9 @@ def mc_l_shapley(coalition: Sequence[int], g: GraphBatch, local_radius: int,
                  sample_num: int = 100, seed: int = 0) -> float:
     """Monte-Carlo local Shapley (reference shapley.py:182-224) — the
     default SubgraphX payoff."""
-    from .base import k_hop_subgraph
-    N = g.num_nodes
-    local_nodes = set()
-    for v in coalition:
-        nodes, _ = k_hop_subgraph(v, local_radius - 1, g.senders,
-                                  g.receivers, g.edge_mask, N)
-        local_nodes |= set(nodes.tolist())
-    local_region = sorted(local_nodes)
-    others = np.asarray([n for n in local_region
-                         if n not in set(coalition)], np.int64)
-    rng = np.random.default_rng(seed)
-    ex_masks, inc_masks = [], []
-    for _ in range(sample_num):
-        perm = rng.permutation(others)
-        split = rng.integers(0, len(others) + 1)
-        selected = perm[:split]
-        ex = np.ones(N, np.float32)
-        ex[local_region] = 0.0
-        ex[selected] = 1.0
-        inc = ex.copy()
-        inc[list(coalition)] = 1.0
-        ex_masks.append(ex)
-        inc_masks.append(inc)
-    margins = _marginal_contributions(g, ex_masks, inc_masks, value_func,
+    ex, inc, _ = _masks_for(coalition, g, "mc_l_shapley", local_radius,
+                            sample_num, None, seed)
+    margins = _marginal_contributions(g, ex, inc, value_func,
                                       subgraph_building_method)
     return float(margins.mean())
 
@@ -172,31 +264,9 @@ def NC_mc_l_shapley(coalition: Sequence[int], g: GraphBatch,
                     sample_num: int = 100, seed: int = 0) -> float:
     """Node-classification variant: the target node always stays included
     (reference shapley.py:240-291)."""
-    from .base import k_hop_subgraph
-    N = g.num_nodes
-    local_nodes = set()
-    for v in coalition:
-        nodes, _ = k_hop_subgraph(v, local_radius - 1, g.senders,
-                                  g.receivers, g.edge_mask, N)
-        local_nodes |= set(nodes.tolist())
-    local_region = sorted(local_nodes)
-    others = np.asarray([n for n in local_region
-                         if n not in set(coalition)], np.int64)
-    rng = np.random.default_rng(seed)
-    ex_masks, inc_masks = [], []
-    for _ in range(sample_num):
-        perm = rng.permutation(others)
-        split = rng.integers(0, len(others) + 1)
-        selected = perm[:split]
-        ex = np.ones(N, np.float32)
-        ex[local_region] = 0.0
-        ex[selected] = 1.0
-        ex[node_idx] = 1.0
-        inc = ex.copy()
-        inc[list(coalition)] = 1.0
-        ex_masks.append(ex)
-        inc_masks.append(inc)
-    margins = _marginal_contributions(g, ex_masks, inc_masks, value_func,
+    ex, inc, _ = _masks_for(coalition, g, "nc_mc_l_shapley", local_radius,
+                            sample_num, node_idx, seed)
+    margins = _marginal_contributions(g, ex, inc, value_func,
                                       subgraph_building_method)
     return float(margins.mean())
 

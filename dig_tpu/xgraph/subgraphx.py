@@ -18,7 +18,9 @@ import numpy as np
 from ..graph import GraphBatch
 from .base import ExplainerBase
 from .shapley import (NC_mc_l_shapley, gnn_score, l_shapley, mc_l_shapley,
-                      mc_shapley, make_value_func)
+                      mc_shapley, make_batched_probs_fn,
+                      make_batched_value_func, make_value_func,
+                      score_coalitions)
 
 
 class MCTSNode:
@@ -84,11 +86,22 @@ class MCTS:
             comps.append(comp)
         return comps
 
+    def _score_many(self, coalitions):
+        """Score several coalitions at once when the payoff supports it
+        (``score_func.score_many``) — one batched device dispatch per MCTS
+        expansion instead of one per child (the round-4 sequential path
+        cost ~100 s/graph through the tunnel)."""
+        many = getattr(self.score_func, "score_many", None)
+        if many is not None:
+            return many(coalitions)
+        return [self.score_func(list(c)) for c in coalitions]
+
     def _expand(self, node: MCTSNode):
         coalition = node.coalition
         degs = [(v, len(self.adj[v] & set(coalition))) for v in coalition]
         degs.sort(key=lambda t: -t[1] if self.high2low else t[1])
         candidates = [v for v, _ in degs[:self.expand_atoms]]
+        new_keys = []
         for v in candidates:
             rest = [u for u in coalition if u != v]
             if not rest:
@@ -102,9 +115,13 @@ class MCTS:
                 child = self.state_map[key]
                 if child not in node.children:
                     node.children.append(child)
-            else:
+            elif key not in new_keys:
+                new_keys.append(key)
+        if new_keys:
+            scores = self._score_many([list(k) for k in new_keys])
+            for key, p in zip(new_keys, scores):
                 child = MCTSNode(key, self.c_puct)
-                child.P = self.score_func(list(key))
+                child.P = float(p)
                 self.state_map[key] = child
                 node.children.append(child)
 
@@ -123,7 +140,8 @@ class MCTS:
         return v
 
     def mcts(self, verbose: bool = False) -> List[MCTSNode]:
-        self.root.P = self.score_func(list(self.root.coalition))
+        self.root.P = float(
+            self._score_many([list(self.root.coalition)])[0])
         for i in range(self.n_rollout):
             self.mcts_rollout(self.root)
             if verbose:
@@ -163,7 +181,7 @@ class SubgraphX(ExplainerBase):
         self.reward_method = reward_method
         self.subgraph_building_method = subgraph_building_method
 
-    def _payoff(self, g, value_func, node_idx=None):
+    def _payoff(self, g, value_func, node_idx=None, vf_batch=None):
         m = self.reward_method
         sb = self.subgraph_building_method
 
@@ -183,6 +201,15 @@ class SubgraphX(ExplainerBase):
             return mc_l_shapley(coalition, g, self.local_radius,
                                 value_func, sb, self.sample_num)
 
+        if vf_batch is not None:
+            method = {"gnn_score": "gnn_score", "l_shapley": "l_shapley",
+                      "mc_shapley": "mc_shapley",
+                      "nc_mc_l_shapley": "nc_mc_l_shapley"}.get(
+                          m, "mc_l_shapley")
+            score.score_many = lambda coalitions: score_coalitions(
+                coalitions, g, vf_batch, method,
+                local_radius=self.local_radius,
+                sample_num=self.sample_num, node_idx=node_idx)
         return score
 
     def explain(self, g: GraphBatch, label: int, max_nodes: int = 5,
@@ -196,9 +223,15 @@ class SubgraphX(ExplainerBase):
                 return jax.nn.softmax(model.apply(params, g, None), -1)
 
             self._probs_fn = _probs_fn
+            self._batch_fn = make_batched_probs_fn(
+                model, self.subgraph_building_method == "zero_filling")
         value_func = make_value_func(self.model, self.params, label,
                                      node_idx, probs_fn=self._probs_fn)
-        score_func = self._payoff(g, value_func, node_idx)
+        vf_batch = make_batched_value_func(
+            self.model, self.params, label, node_idx,
+            self.subgraph_building_method, batch_fn=self._batch_fn)
+        score_func = self._payoff(g, value_func, node_idx,
+                                  vf_batch=vf_batch)
         mcts = MCTS(g, score_func, self.rollout, self.min_atoms,
                     self.c_puct, self.expand_atoms, self.high2low)
         results = mcts.mcts()

@@ -225,3 +225,59 @@ def test_partitioner_cut_quality():
     # the random-assignment cut
     assert our_cut <= 4 * (k * bridges), (our_cut, rand_cut)
     assert our_cut < 0.25 * rand_cut, (our_cut, rand_cut)
+
+
+def test_gp_dp_2d_mesh():
+    """DP x GP on Mesh(('data','graph')) (SURVEY §7): two data rows with
+    DISJOINT node minibatches of the same partitioned graph compute
+    exactly the 1-D full-batch update (global count-normalized psum over
+    both axes), and identical replicated data is also invariant."""
+    from jax.sharding import Mesh
+    from dig_tpu.lsgraph import synthetic_large_graph
+    from dig_tpu.parallel import make_gp_engine, prepare_gp_graph, slab_layout
+    from dig_tpu.parallel.gp_models import GPGCN
+
+    data = synthetic_large_graph(200, seed=1)
+    s, r, x, y = data["senders"], data["receivers"], data["x"], data["y"]
+    N = len(y)
+    P_, D_ = 4, 2
+    gp, perm, H, C = prepare_gp_graph(s, r, N, P_)
+    xs = jnp.asarray(slab_layout(x, perm, P_, C))
+    ys = jnp.asarray(slab_layout(y, perm, P_, C))
+    tm_np = slab_layout(data["train_mask"], perm, P_, C)
+    tm = jnp.asarray(tm_np)
+
+    module = GPGCN(features=(16, 4))
+    opt = optax.adam(1e-2)
+
+    mesh1 = Mesh(np.array(jax.devices()[:P_]).reshape(P_), ("graph",))
+    init1, step1, _ = make_gp_engine(mesh1, module, opt, H, C, axis="graph")
+    params0 = init1(jax.random.PRNGKey(0), xs, gp)
+    p1, os1, loss1, out1 = step1(jax.tree.map(jnp.copy, params0),
+                                 opt.init(params0), gp, xs, ys, tm)
+
+    mesh2 = Mesh(np.array(jax.devices()[:D_ * P_]).reshape(D_, P_),
+                 ("data", "graph"))
+    init2, step2, predict2 = make_gp_engine(mesh2, module, opt, H, C,
+                                            axis="graph", data_axis="data")
+    stack2 = lambda a: jnp.stack([a, a])
+    gp2 = jax.tree.map(stack2, gp)
+    # disjoint halves of the train mask across the two data rows
+    rng = np.random.default_rng(0)
+    half = rng.uniform(size=tm_np.shape) < 0.5
+    m0 = jnp.asarray(tm_np & half)
+    m1 = jnp.asarray(tm_np & ~half)
+    p2, os2, loss2, out2 = step2(jax.tree.map(jnp.copy, params0),
+                                 opt.init(params0), gp2,
+                                 stack2(xs), stack2(ys),
+                                 jnp.stack([m0, m1]))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # per-row outputs equal each other (same params, same graph)
+    out2 = np.asarray(out2)
+    np.testing.assert_allclose(out2[0], out2[1], rtol=1e-5, atol=1e-5)
+    # forward path on the 2-D mesh
+    pr = np.asarray(predict2(p2, gp2, stack2(xs)))
+    np.testing.assert_allclose(pr[0], pr[1], rtol=1e-5, atol=1e-5)
