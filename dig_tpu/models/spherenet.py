@@ -39,7 +39,8 @@ from ..ops.radius import (radius_graph_flat, radius_graph_nk,
                           radius_graph_nk_blocked)
 from ..ops.pallas_triplet import fused_angle_product, fused_triplet_product
 from ..ops.pallas_triplet_pt import basis_pt, fused_triplet_pt
-from ..ops.pallas_triplet_slot import fused_triplet_slot
+from ..ops.pallas_triplet_slot import (fused_triplet_slot,
+                                       fused_triplet_slot_geom)
 from ..ops.segment import segment_sum, segment_sum_sorted
 from ..ops.triplets import (Triplets, build_triplets, build_triplets_nk,
                             edge_distances, edges_to_nodes_nk, expand_kj,
@@ -236,7 +237,7 @@ class UpdateE(nn.Module):
                 wt = (wt1 @ wt2 if self.use_torsion
                       else jnp.zeros((1, self.int_emb_size), cdt))
                 if self.slot_atoms > 0:
-                    # geom = (pt_s [R, K*E], m2T [K, E], lj [1, E]); the
+                    # geom = (pt_s [K, R, E], m2T [K, E], lj [1, E]); the
                     # expand gather runs inside the kernel — x_kj [E, C]
                     # is the kernel input, nothing [T, C]-sized exists
                     pt_s, m2t, lj = geom
@@ -420,7 +421,15 @@ class _SphericalMPNN(nn.Module):
             # slot-resident layout (ops/pallas_triplet_slot): the packed
             # basis table is built S-LEADING ([K, R, E] — edge axis
             # minor, full lanes) from transposed [K, E] scalar geometry,
-            # and the kernel gathers x in VMEM via (senders - slot*A)
+            # and the kernel gathers x in VMEM via (senders - slot*A).
+            # Round-5 measured negative result: the scalar-geometry
+            # kernel variant (fused_triplet_slot_geom — basis rows
+            # evaluated in-body from theta/phi/dk, pt never in HBM) is
+            # 25% SLOWER end-to-end (78 vs 62.6 ms/force step, G=96):
+            # the [1, Et] closed-form row evaluations run at 1/8 VPU
+            # sublane utilization and are re-differentiated at every AD
+            # level, costing more than the [K, R, E] interface traffic
+            # they save. The pt interface stays the production path.
             from ..ops.pallas_triplet_slot import basis_pt_k
             A = self.block_size
             K = trip.nk_nbr.shape[1]

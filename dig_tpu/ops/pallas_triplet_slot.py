@@ -120,6 +120,68 @@ def _make_bodies(num_spherical: int, num_radial: int, has_t: bool):
     return fwd_body, bwd_body, bwd2_body
 
 
+@functools.lru_cache(maxsize=None)
+def _make_bodies_geom(num_spherical: int, num_radial: int, has_t: bool):
+    """Scalar-geometry bodies (round 5): the basis rows are evaluated
+    IN-BODY from (theta[, phi], dk/cutoff) instead of arriving as a
+    packed [K, R, E] table. The r4 pt interface moved ~43 MB (bf16,
+    flagship shape) per layer per AD pass of basis values/cotangents
+    through HBM and dragged a [K, R, E]-wide XLA backprop chain behind
+    it; the scalar interface is R/3 ~ 10x smaller and its closed-form
+    derivatives stay inside the kernel (VPU work, differentiated by the
+    same trace-time vjp tower)."""
+    n, k = num_spherical, num_radial
+
+    fwd_pt, _, _ = _make_bodies(num_spherical, num_radial, has_t)
+
+    def _rows(th, ph, dk, m2row):
+        # th/ph/dk arrive as SEPARATE [1, Et] operands (split host-side):
+        # in-body row slicing of a packed [NG, Et] block lowers to
+        # dynamic_slice (unimplemented in Mosaic) and its second-order
+        # transpose produces negative-size pads.
+        f32 = jnp.float32
+        # f32 compare: Mosaic rejects bf16 cmpf ("Target does not support
+        # this comparison"), and m2row arrives in the compute dtype
+        live = m2row.astype(f32) > 0                      # [1, Et]
+        th = th.astype(f32)
+        # the bessel closed forms carry 1/x^l poles: masked/padded lanes
+        # (zero-filled) would evaluate to NaN and contaminate the lane
+        # CONTRACTIONS even though ohm zeroes them — evaluate dead lanes
+        # at a safe abscissa instead (their cotangent is zeroed by the
+        # same where, matching the pt path where ohm=0 => dpt=0)
+        dk = jnp.where(live, dk.astype(f32), 1.0)
+        bt = jnp.concatenate([f(dk) for row in make_bessel_funcs(n, k)
+                              for f in row], axis=0)      # [n*k, Et]
+        y0 = jnp.concatenate([f(th) for f in make_sph_funcs_m0(n)],
+                             axis=0)                      # [n, Et]
+        if has_t:
+            yt = jnp.concatenate([f(th, ph.astype(f32))
+                                  for f in make_sph_funcs_full(n)], axis=0)
+        else:
+            yt = jnp.zeros((1,) + th.shape[1:], f32)
+        return bt, y0, yt
+
+    def fwd_body(xs, th, ph, dk, ws, wt, ohm, m2row):
+        bt, y0, yt = _rows(th, ph, dk, m2row)
+        return fwd_pt(xs, bt, y0, yt, ws, wt, ohm)
+
+    def bwd_body(xs, th, ph, dk, ws, wt, ohm, m2row, ct):
+        _, vjp = jax.vjp(lambda *a: fwd_body(*a, ohm, m2row),
+                         xs, th, ph, dk, ws, wt)
+        return vjp(ct.astype(jnp.float32))
+
+    def bwd2_body(xs, th, ph, dk, ws, wt, ohm, m2row, ct, us):
+        def bwd_flat(xs, th, ph, dk, ws, wt, ct):
+            return bwd_body(xs, th, ph, dk, ws, wt, ohm, m2row, ct)
+
+        outs, vjp2 = jax.vjp(bwd_flat, xs, th, ph, dk, ws, wt,
+                             ct.astype(jnp.float32))
+        us = tuple(u.astype(o.dtype) for u, o in zip(us, outs))
+        return vjp2(us)
+
+    return fwd_body, bwd_body, bwd2_body
+
+
 def _ohm(lj_ref, m2T_ref, A: int):
     """[A, Et] masked one-hot from group-local sender ids [1, Et] and
     this s's mask row [1, 1, Et] (kernel-resident, nondiff)."""
@@ -188,6 +250,73 @@ def _bwd2_kernel(x_ref, bt_ref, y0_ref, yt_ref, ws_ref, wt_ref, m2T_ref,
     btb_ref[0] = btb.astype(btb_ref.dtype)
     y0b_ref[0] = y0b.astype(y0b_ref.dtype)
     ytb_ref[0] = ytb.astype(ytb_ref.dtype)
+
+    @pl.when((g == 0) & (s == 0))
+    def _():
+        wsb_ref[...] = jnp.zeros_like(wsb_ref)
+        wtb_ref[...] = jnp.zeros_like(wtb_ref)
+
+    wsb_ref[...] += wsb
+    wtb_ref[...] += wtb
+
+    @pl.when(s == 0)
+    def _():
+        ctb_ref[...] = jnp.zeros_like(ctb_ref)
+
+    ctb_ref[...] += ctb.astype(ctb_ref.dtype)
+
+
+def _fwd_kernel_g(x_ref, th_ref, ph_ref, dk_ref, ws_ref, wt_ref, m2T_ref,
+                  lj_ref, out_ref, *, body, A):
+    s = pl.program_id(1)
+    ohm = _ohm(lj_ref, m2T_ref, A)
+    prod = body(_sq(x_ref), _sq(th_ref), _sq(ph_ref), _sq(dk_ref),
+                ws_ref[...], wt_ref[...], ohm, m2T_ref[0])
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += prod.astype(out_ref.dtype)
+
+
+def _bwd_kernel_g(x_ref, th_ref, ph_ref, dk_ref, ws_ref, wt_ref, m2T_ref,
+                  lj_ref, ct_ref, dx_ref, dth_ref, dph_ref, ddk_ref,
+                  dws_ref, dwt_ref, *, body, A):
+    g, s = pl.program_id(0), pl.program_id(1)
+    ohm = _ohm(lj_ref, m2T_ref, A)
+    dx, dth, dph, ddk, dws, dwt = body(
+        _sq(x_ref), _sq(th_ref), _sq(ph_ref), _sq(dk_ref), ws_ref[...],
+        wt_ref[...], ohm, m2T_ref[0], ct_ref[...])
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dth_ref[0] = dth.astype(dth_ref.dtype)
+    dph_ref[0] = dph.astype(dph_ref.dtype)
+    ddk_ref[0] = ddk.astype(ddk_ref.dtype)
+
+    @pl.when((g == 0) & (s == 0))
+    def _():
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
+
+    dws_ref[...] += dws
+    dwt_ref[...] += dwt
+
+
+def _bwd2_kernel_g(x_ref, th_ref, ph_ref, dk_ref, ws_ref, wt_ref, m2T_ref,
+                   lj_ref, ct_ref, u1_ref, uth_ref, uph_ref, udk_ref,
+                   u4_ref, u5_ref, xb_ref, thb_ref, phb_ref, dkb_ref,
+                   wsb_ref, wtb_ref, ctb_ref, *, body, A):
+    g, s = pl.program_id(0), pl.program_id(1)
+    ohm = _ohm(lj_ref, m2T_ref, A)
+    us = (_sq(u1_ref), _sq(uth_ref), _sq(uph_ref), _sq(udk_ref),
+          u4_ref[...], u5_ref[...])
+    xb, thb, phb, dkb, wsb, wtb, ctb = body(
+        _sq(x_ref), _sq(th_ref), _sq(ph_ref), _sq(dk_ref), ws_ref[...],
+        wt_ref[...], ohm, m2T_ref[0], ct_ref[...], us)
+    xb_ref[0] = xb.astype(xb_ref.dtype)
+    thb_ref[0] = thb.astype(thb_ref.dtype)
+    phb_ref[0] = phb.astype(phb_ref.dtype)
+    dkb_ref[0] = dkb.astype(dkb_ref.dtype)
 
     @pl.when((g == 0) & (s == 0))
     def _():
@@ -401,6 +530,127 @@ def _run_bwd2(x, pt, ws, wt, m2T, lj, ct, u1, u2, u4, u5, A, K, cfg):
             wsb.astype(ws.dtype), wtb.astype(wt.dtype), ctb[:E])
 
 
+def _prep_g(x, geo, m2T, lj, A, K, has_t):
+    """Like :func:`_prep` for the scalar-geometry interface: geo
+    [K, NG, E] splits host-side into th/ph/dk [K, 1, E_pad] operands
+    (in-body row slicing is Mosaic-hostile, see ``_make_bodies_geom``).
+    """
+    E, C = x.shape
+    S, Et, Gt, E_pad = _layout(E, A, K)
+    slot = jnp.arange(E, dtype=jnp.int32) // (A * K)
+    ljg = _pad_e(lj + ((slot % S) * A)[None, :], E_pad, 1)
+    m2T3 = _pad_e(m2T, E_pad, 1)[:, None, :]
+    geop = _pad_e(geo, E_pad, 2)                           # [K, NG, E_pad]
+    thp = geop[:, 0:1]
+    php = (geop[:, 1:2] if has_t
+           else jnp.zeros_like(thp))
+    dkp = geop[:, -1:]
+    xk = jnp.transpose(_pad_e(x, E_pad, 0).reshape(E_pad // K, K, C),
+                       (1, 0, 2))
+    return S, Et, Gt, E_pad, C, thp, php, dkp, xk, m2T3, ljg
+
+
+def _join_geo(dth, dph, ddk, has_t, E):
+    parts = [dth, dph, ddk] if has_t else [dth, ddk]
+    return jnp.concatenate([p[:, :, :E] for p in parts], axis=1)
+
+
+def _run_fwd_g(x, geo, ws, wt, m2T, lj, A, K, cfg):
+    E = x.shape[0]
+    ns, nr, has_t = cfg
+    fwd_body, _, _ = _make_bodies_geom(ns, nr, has_t)
+    S, Et, Gt, E_pad, C, thp, php, dkp, xk, m2T3, ljg = _prep_g(
+        x, geo, m2T, lj, A, K, has_t)
+    SA = S * A
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_g, body=fwd_body, A=SA),
+        grid=(Gt, K),
+        in_specs=[_x_spec(SA, C), _pt_spec(1, Et), _pt_spec(1, Et),
+                  _pt_spec(1, Et), _fs(*ws.shape), _fs(*wt.shape),
+                  _m_spec(Et), _lj_spec(Et)],
+        out_specs=_e_spec(Et, C),
+        out_shape=jax.ShapeDtypeStruct((E_pad, C), x.dtype),
+        compiler_params=_vmem(64),
+        interpret=not _on_tpu(),
+    )(xk, thp, php, dkp, ws, wt, m2T3, ljg)
+    return out[:E]
+
+
+def _run_bwd_g(x, geo, ws, wt, m2T, lj, ct, A, K, cfg):
+    E = x.shape[0]
+    ns, nr, has_t = cfg
+    _, bwd_body, _ = _make_bodies_geom(ns, nr, has_t)
+    S, Et, Gt, E_pad, C, thp, php, dkp, xk, m2T3, ljg = _prep_g(
+        x, geo, m2T, lj, A, K, has_t)
+    SA = S * A
+    ctp = _pad_e(ct, E_pad, 0)
+    g1 = jax.ShapeDtypeStruct(thp.shape, jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_g, body=bwd_body, A=SA),
+        grid=(Gt, K),
+        in_specs=[_x_spec(SA, C), _pt_spec(1, Et), _pt_spec(1, Et),
+                  _pt_spec(1, Et), _fs(*ws.shape), _fs(*wt.shape),
+                  _m_spec(Et), _lj_spec(Et), _e_spec(Et, C)],
+        out_specs=[_x_spec(SA, C), _pt_spec(1, Et), _pt_spec(1, Et),
+                   _pt_spec(1, Et), _fs(*ws.shape), _fs(*wt.shape)],
+        out_shape=[
+            jax.ShapeDtypeStruct(xk.shape, x.dtype),
+            g1, g1, g1,
+            jax.ShapeDtypeStruct(ws.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+        ],
+        compiler_params=_vmem(64),
+        interpret=not _on_tpu(),
+    )(xk, thp, php, dkp, ws, wt, m2T3, ljg, ctp)
+    dxk, dth, dph, ddk, dws, dwt = outs
+    dx = jnp.transpose(dxk, (1, 0, 2)).reshape(E_pad, C)[:E]
+    return (dx, _join_geo(dth, dph, ddk, has_t, E).astype(geo.dtype),
+            dws.astype(ws.dtype), dwt.astype(wt.dtype))
+
+
+def _run_bwd2_g(x, geo, ws, wt, m2T, lj, ct, u1, ug, u4, u5, A, K, cfg):
+    E = x.shape[0]
+    ns, nr, has_t = cfg
+    _, _, bwd2_body = _make_bodies_geom(ns, nr, has_t)
+    S, Et, Gt, E_pad, C, thp, php, dkp, xk, m2T3, ljg = _prep_g(
+        x, geo, m2T, lj, A, K, has_t)
+    SA = S * A
+    ctp = _pad_e(ct, E_pad, 0)
+    u1k = jnp.transpose(_pad_e(u1, E_pad, 0).reshape(E_pad // K, K, C),
+                        (1, 0, 2))
+    ugp = _pad_e(ug, E_pad, 2).astype(jnp.float32)
+    uth = ugp[:, 0:1]
+    uph = ugp[:, 1:2] if has_t else jnp.zeros_like(uth)
+    udk = ugp[:, -1:]
+    g1 = jax.ShapeDtypeStruct(thp.shape, jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_bwd2_kernel_g, body=bwd2_body, A=SA),
+        grid=(Gt, K),
+        in_specs=[_x_spec(SA, C), _pt_spec(1, Et), _pt_spec(1, Et),
+                  _pt_spec(1, Et), _fs(*ws.shape), _fs(*wt.shape),
+                  _m_spec(Et), _lj_spec(Et), _e_spec(Et, C),
+                  _x_spec(SA, C), _pt_spec(1, Et), _pt_spec(1, Et),
+                  _pt_spec(1, Et), _fs(*ws.shape), _fs(*wt.shape)],
+        out_specs=[_x_spec(SA, C), _pt_spec(1, Et), _pt_spec(1, Et),
+                   _pt_spec(1, Et), _fs(*ws.shape), _fs(*wt.shape),
+                   _e_spec(Et, C)],
+        out_shape=[
+            jax.ShapeDtypeStruct(xk.shape, x.dtype),
+            g1, g1, g1,
+            jax.ShapeDtypeStruct(ws.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+            jax.ShapeDtypeStruct((E_pad, C), ct.dtype),
+        ],
+        compiler_params=_vmem(64),
+        interpret=not _on_tpu(),
+    )(xk, thp, php, dkp, ws, wt, m2T3, ljg, ctp, u1k, uth, uph, udk,
+      u4.astype(jnp.float32), u5.astype(jnp.float32))
+    xb, thb, phb, dkb, wsb, wtb, ctb = outs
+    xbe = jnp.transpose(xb, (1, 0, 2)).reshape(E_pad, C)[:E]
+    return (xbe, _join_geo(thb, phb, dkb, has_t, E).astype(geo.dtype),
+            wsb.astype(ws.dtype), wtb.astype(wt.dtype), ctb[:E])
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp tower: F (fwd) -> B (bwd op) -> bwd2 kernel
 # ---------------------------------------------------------------------------
@@ -456,6 +706,62 @@ def _F_bwd(A, K, cfg, res, ct):
 
 
 fused_triplet_slot.defvjp(_F_fwd, _F_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _Bg(x, geo, ws, wt, m2T, lj, ct, A, K, cfg):
+    return _run_bwd_g(x, geo, ws, wt, m2T, lj, ct, A, K, cfg)
+
+
+def _Bg_fwd(x, geo, ws, wt, m2T, lj, ct, A, K, cfg):
+    return (_Bg(x, geo, ws, wt, m2T, lj, ct, A, K, cfg),
+            (x, geo, ws, wt, m2T, lj, ct))
+
+
+def _Bg_bwd(A, K, cfg, res, cts):
+    x, geo, ws, wt, m2T, lj, ct = res
+    u1, ug, u4, u5 = cts
+    xb, geob, wsb, wtb, ctb = _run_bwd2_g(
+        x, geo, ws, wt, m2T, lj, ct, u1, ug, u4, u5, A, K, cfg)
+    return xb, geob, wsb, wtb, None, None, ctb
+
+
+_Bg.defvjp(_Bg_fwd, _Bg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_triplet_slot_geom(x, geo, ws, wt, m2T, lj, A: int, K: int, cfg):
+    """Scalar-geometry slot kernel (round 5): same contraction as
+    :func:`fused_triplet_slot`, but ``geo [K, NG, E]`` carries the raw
+    per-triplet scalars (theta[, phi], d_kj/cutoff; NG = 2 + has_t) and
+    the basis rows are evaluated inside the kernel
+    (:func:`_make_bodies_geom`) — nothing [K, R, E]-sized exists in HBM
+    at any AD level. Differentiable to second order.
+
+    MEASURED NEGATIVE RESULT (round 5, real chip, flagship force config
+    G=96/A=29/K=16/ns=3/nr=6): 78.0 ms/step vs 62.6 for the pt-table
+    kernel — the ~30 closed-form [1, Et] row evaluations run at 1/8 VPU
+    sublane utilization and are re-differentiated at each of the three
+    derivative passes, outweighing the ~43 MB/layer/pass of basis
+    values+cotangents the scalar interface removes from HBM. Kept (with
+    full parity tests incl. grad-of-grad) as the documented ladder step;
+    the model uses :func:`fused_triplet_slot`.
+    """
+    return _run_fwd_g(x, geo, ws, wt, m2T, lj, A, K, cfg)
+
+
+def _Fg_fwd(x, geo, ws, wt, m2T, lj, A, K, cfg):
+    return (fused_triplet_slot_geom(x, geo, ws, wt, m2T, lj, A, K, cfg),
+            (x, geo, ws, wt, m2T, lj))
+
+
+def _Fg_bwd(A, K, cfg, res, ct):
+    x, geo, ws, wt, m2T, lj = res
+    dx, dgeo, dws, dwt = _Bg(x, geo, ws, wt, m2T, lj, ct, A, K, cfg)
+    return dx, dgeo, dws, dwt, None, None
+
+
+fused_triplet_slot_geom.defvjp(_Fg_fwd, _Fg_bwd)
 
 
 def fused_triplet_slot_ref(x, pt, ws, wt, m2T, lj, A, K, cfg):

@@ -132,3 +132,60 @@ def test_spherenet_slot_force_training_matches_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("has_t", [False, True])
+def test_geom_kernel_matches_pt_chain(has_t):
+    """Scalar-geometry kernel (round 5) == pt kernel fed by the XLA
+    basis_pt_k chain from the SAME scalars: forward, full first-order
+    grads (dgeo vs the chain rule through the closed forms), and
+    reverse-over-reverse (the force-training structure)."""
+    from dig_tpu.ops.pallas_triplet_slot import (basis_pt_k,
+                                                 fused_triplet_slot_geom)
+    A, K, G, C, ns, nr = 5, 4, 3, 8, 3, 2
+    E = G * A * K
+    rng = np.random.default_rng(7)
+    cfg = (ns, nr, has_t)
+    x = jnp.asarray(rng.normal(size=(E, C)).astype(np.float32))
+    lj = jnp.asarray(rng.integers(0, A, size=E).astype(np.int32)[None])
+    m2T = jnp.asarray((rng.random((K, E)) > 0.3).astype(np.float32))
+    th = jnp.asarray(rng.uniform(0.1, 3.0, (K, E)).astype(np.float32))
+    ph = jnp.asarray(rng.uniform(0.0, 6.2, (K, E)).astype(np.float32))
+    dk = jnp.asarray(rng.uniform(0.1, 1.0, (K, E)).astype(np.float32))
+    geo = (jnp.stack([th, ph, dk], axis=1) if has_t
+           else jnp.stack([th, dk], axis=1))
+    ws = jnp.asarray(rng.normal(size=(ns * nr, C)).astype(np.float32))
+    wt = jnp.asarray(rng.normal(
+        size=((ns * ns * nr) if has_t else 1, C)).astype(np.float32))
+    w_out = jax.random.normal(jax.random.PRNGKey(3), (E, C))
+
+    def f_g(x, geo, ws, wt):
+        return jnp.sum(fused_triplet_slot_geom(
+            x, geo, ws, wt, m2T, lj, A, K, cfg) * w_out)
+
+    def f_p(x, geo, ws, wt):
+        pt = basis_pt_k(ns, nr, geo[:, 0],
+                        geo[:, 1] if has_t else None, geo[:, -1], has_t)
+        return jnp.sum(fused_triplet_slot(
+            x, pt, ws, wt, m2T, lj, A, K, cfg) * w_out)
+
+    np.testing.assert_allclose(float(f_g(x, geo, ws, wt)),
+                               float(f_p(x, geo, ws, wt)), rtol=1e-4)
+    gk = jax.grad(f_g, argnums=(0, 1, 2, 3))(x, geo, ws, wt)
+    gr = jax.grad(f_p, argnums=(0, 1, 2, 3))(x, geo, ws, wt)
+    for a, b, nm in zip(gk, gr, ["dx", "dgeo", "dws", "dwt"]):
+        err = float(jnp.max(jnp.abs(a - b)))
+        den = float(jnp.max(jnp.abs(b))) + 1e-6
+        assert err / den < 2e-4, (nm, err, den)
+
+    def gg(f):
+        def h(x, geo):
+            g = jax.grad(lambda gg_: f(x, gg_, ws, wt))(geo)
+            return jnp.sum(g * g)
+        return jax.grad(h, argnums=(0, 1))(x, geo)
+
+    hk, hr = gg(f_g), gg(f_p)
+    for a, b, nm in zip(hk, hr, ["ddx", "ddgeo"]):
+        err = float(jnp.max(jnp.abs(a - b)))
+        den = float(jnp.max(jnp.abs(b))) + 1e-6
+        assert err / den < 1e-3, (nm, err, den)
