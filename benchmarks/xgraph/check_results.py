@@ -1,0 +1,93 @@
+"""Quality assertions over the benchmark artifact (VERDICT r4 item 2):
+the sweep's columns must actually rank methods.
+
+Checks, against ``results/fidelity_sweep.jsonl``:
+
+1. coverage — every requested dataset has rows for every explainer
+   (applicable ones) x >= 4 sparsity points, random floor included;
+2. motif separation — each explainer's mean motif_recall beats the
+   random floor's on >= 2 datasets (the explanations carry signal);
+3. node-task fidelity is informative — per node dataset the fidelity
+   column varies across explainers (not softmax-saturated to one value;
+   the round-4 artifact had 11/14 graph rows pinned at exactly 0.5).
+
+Usage: python -m benchmarks.xgraph.check_results [path]
+"""
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+
+def load(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def check(rows):
+    by_ds = defaultdict(list)
+    for r in rows:
+        by_ds[r["dataset"]].append(r)
+    problems = []
+
+    # 1. coverage
+    for ds, rs in by_ds.items():
+        exps = {r["explainer"] for r in rs}
+        sps = {r["sparsity"] for r in rs}
+        if "random" not in exps:
+            problems.append(f"{ds}: no random floor rows")
+        if len(sps) < 4:
+            problems.append(f"{ds}: only {len(sps)} sparsity points")
+
+    # 2. motif separation vs random
+    recall = defaultdict(dict)   # explainer -> dataset -> mean recall
+    for r in rows:
+        if "motif_recall" in r:
+            recall[r["explainer"]].setdefault(r["dataset"], []).append(
+                r["motif_recall"])
+    rnd = {ds: float(np.mean(v)) for ds, v in recall.get("random",
+                                                         {}).items()}
+    wins = {}
+    for ex, per_ds in recall.items():
+        if ex == "random":
+            continue
+        w = sum(1 for ds, v in per_ds.items()
+                if ds in rnd and float(np.mean(v)) > rnd[ds])
+        wins[ex] = (w, len([d for d in per_ds if d in rnd]))
+        if w < 2:
+            problems.append(
+                f"{ex}: beats random motif_recall on only {w} datasets")
+
+    # 3. node fidelity informative
+    node_fid = defaultdict(dict)
+    for r in rows:
+        if r.get("task") == "node":
+            node_fid[r["dataset"]].setdefault(r["explainer"], []).append(
+                r["fidelity"])
+    for ds, per_ex in node_fid.items():
+        means = [float(np.mean(v)) for v in per_ex.values()]
+        if len(means) >= 2 and float(np.std(means)) < 0.02:
+            problems.append(f"{ds}: node fidelity saturated "
+                            f"(std {np.std(means):.4f} across explainers)")
+
+    print(f"{len(rows)} rows, {len(by_ds)} datasets")
+    print("random motif_recall floor per dataset:",
+          {d: round(v, 3) for d, v in rnd.items()})
+    for ex, (w, n) in sorted(wins.items()):
+        print(f"  {ex}: beats random on {w}/{n} datasets")
+    if problems:
+        print("\nFAILURES:")
+        for p in problems:
+            print("  -", p)
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    path = (sys.argv[1] if len(sys.argv) > 1
+            else "benchmarks/xgraph/results/fidelity_sweep.jsonl")
+    sys.exit(check(load(path)))

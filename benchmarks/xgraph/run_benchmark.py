@@ -43,7 +43,8 @@ import time
 import numpy as np
 
 from dig_tpu.datasets import GraphClsLoader, synthetic_graph_dataset
-from dig_tpu.xgraph import (GNN_GI, GNNExplainer, GradCAM, PGExplainer,
+from dig_tpu.xgraph import (GNN_GI, GNN_LRP, DeepLIFT, FlowX,
+                            GNNExplainer, GradCAM, PGExplainer,
                             SubgraphX, XCollector)
 from dig_tpu.xgraph.datasets import (ba_2motifs, ba_lrp, ba_shapes,
                                      node_task_batch, tree_cycle, tree_grid)
@@ -82,6 +83,12 @@ def make_explainer(name, model, params, num_classes=2):
         return PGExplainer(model, params, epochs=10)
     if name == "gradcam":
         return GradCAM(model, params)
+    if name == "deeplift":
+        return DeepLIFT(model, params)
+    if name == "flowx":
+        return FlowX(model, params)
+    if name == "gnn_lrp":
+        return GNN_LRP(model, params)
     if name == "gnn_gi":
         return GNN_GI(model, params)
     if name == "subgraphx":
@@ -123,9 +130,13 @@ def _node_motif_edges(data, motif):
             if int(s[i]) in mset and int(r[i]) in mset]
 
 
-def run_graph(ex_name, ex, data, num_explain, sparsity, seed=0):
-    col = XCollector()
-    recalls = []
+def run_graph_all(ex_name, ex, data, num_explain, sparsities, seed=0):
+    """Explain each graph ONCE, evaluate at every sparsity (scores are
+    sparsity-independent; round 4 recomputed the explanation per point —
+    5x the cost at the default 5-point sweep). SubgraphX reuses one MCTS
+    per graph across coalition-size budgets (``explain_multi``)."""
+    cols = {sp: XCollector() for sp in sparsities}
+    recalls = {sp: [] for sp in sparsities}
     t0 = time.perf_counter()
     # ONE loader over the whole set: per-graph loaders pad each graph to
     # its own size, which changes shapes and recompiles every jitted
@@ -135,53 +146,57 @@ def run_graph(ex_name, ex, data, num_explain, sparsity, seed=0):
         label = int(d["y"])
         motif = _graph_motif_edges(d)
         n_real_e = int(np.asarray(g.edge_mask).sum())
-        k = max(1, int(round((1 - sparsity) * n_real_e)))
-        if ex_name == "random":
-            scores = _random_scores(g, seed + gi)
-            mask = ExplainerShim.control_sparsity(scores, sparsity)
-            related = _shim(ex_name).eval_related_pred(g, [mask, mask])
-            col.collect_data([mask], related, label=label)
-        elif ex_name == "gnnexplainer":
-            scores, _ = ex.explain(g, target_label=label)
-            mask = ex.control_sparsity(scores, sparsity)
-            related = ex.eval_related_pred(g, [mask, mask])
-            col.collect_data([mask], related, label=label)
-        elif ex_name == "pgexplainer":
-            scores = ex.explain(g)
-            mask = ex.control_sparsity(scores, sparsity)
-            related = ex.eval_related_pred(g, [mask, mask])
-            col.collect_data([mask], related, label=label)
-        elif ex_name == "subgraphx":
-            n_real = int(np.asarray(g.node_mask).sum())
-            max_nodes = max(3, int(round((1 - sparsity) * n_real)))
-            best, related = ex.explain(g, label=label,
-                                       max_nodes=max_nodes)
-            col.collect_data([None], related, label=label)
-            scores = None
-            if motif is not None and best is not None:
-                nset = set(int(v) for v in best.coalition)
-                s_, r_ = np.asarray(g.senders), np.asarray(g.receivers)
-                scores = np.where(
-                    [int(a) in nset and int(b) in nset
-                     for a, b in zip(s_, r_)], 1.0, 0.0)
-        else:
-            scores = ex.explain(g, target_label=label)
-            mask = ex.control_sparsity(scores, sparsity)
-            related = ex.eval_related_pred(g, [mask, mask])
-            col.collect_data([mask], related, label=label)
-        if motif is not None and scores is not None:
+
+        def _recall(sp, scores):
+            if motif is None or scores is None:
+                return
+            k = max(1, int(round((1 - sp) * n_real_e)))
             rec = _motif_recall(np.asarray(scores, float), g, motif, k)
             if rec is not None:
-                recalls.append(rec)
-    out = {
-        "fidelity": round(col.fidelity, 4),
-        "fidelity_inv": round(col.fidelity_inv, 4),
-        "sparsity_measured": round(col.sparsity, 4),
-        "seconds": round(time.perf_counter() - t0, 2),
-    }
-    if recalls:
-        out["motif_recall"] = round(float(np.mean(recalls)), 4)
-    return out
+                recalls[sp].append(rec)
+
+        if ex_name == "subgraphx":
+            n_real = int(np.asarray(g.node_mask).sum())
+            mns = [max(3, int(round((1 - sp) * n_real)))
+                   for sp in sparsities]
+            for sp, (best, related) in zip(sparsities,
+                                           ex.explain_multi(g, label, mns)):
+                cols[sp].collect_data([None], related, label=label)
+                if motif is not None and best is not None:
+                    nset = set(int(v) for v in best.coalition)
+                    s_, r_ = np.asarray(g.senders), np.asarray(g.receivers)
+                    scores = np.where(
+                        [int(a) in nset and int(b) in nset
+                         for a, b in zip(s_, r_)], 1.0, 0.0)
+                    _recall(sp, scores)
+            continue
+        if ex_name == "random":
+            scores = _random_scores(g, seed + gi)
+        elif ex_name == "gnnexplainer":
+            scores, _ = ex.explain(g, target_label=label)
+        elif ex_name == "pgexplainer":
+            scores = ex.explain(g)
+        else:
+            scores = ex.explain(g, target_label=label)
+        for sp in sparsities:
+            mask = ExplainerShim.control_sparsity(scores, sp)
+            related = _shim(ex_name).eval_related_pred(g, [mask, mask])
+            cols[sp].collect_data([mask], related, label=label)
+            _recall(sp, scores)
+    per_sp = round((time.perf_counter() - t0) / max(len(sparsities), 1), 2)
+    rows = {}
+    for sp in sparsities:
+        col = cols[sp]
+        out = {
+            "fidelity": round(col.fidelity, 4),
+            "fidelity_inv": round(col.fidelity_inv, 4),
+            "sparsity_measured": round(col.sparsity, 4),
+            "seconds": per_sp,
+        }
+        if recalls[sp]:
+            out["motif_recall"] = round(float(np.mean(recalls[sp])), 4)
+        rows[sp] = out
+    return rows
 
 
 class ExplainerShim:
@@ -211,9 +226,10 @@ def _shim(name):
     return _SHIMS["related"]
 
 
-def run_node(ex_name, ex, data, g, num_explain, sparsity, seed=0,
-             num_hops=3):
-    """Explain motif nodes on one node-classification graph.
+def run_node_all(ex_name, ex, data, g, num_explain, sparsities, seed=0,
+                 num_hops=3):
+    """Explain motif nodes on one node-classification graph, each node
+    scored ONCE and evaluated at every sparsity.
 
     Masks (and the random baseline) are restricted to the explained
     node's ``num_hops``-neighborhood — the reference protocol
@@ -223,8 +239,8 @@ def run_node(ex_name, ex, data, g, num_explain, sparsity, seed=0,
     edges the explainer picked, and fidelity saturates identically for
     all explainers (measured: fid == fid_inv == 1.0 for random too)."""
     from dig_tpu.xgraph.base import k_hop_subgraph
-    col = XCollector()
-    recalls = []
+    cols = {sp: XCollector() for sp in sparsities}
+    recalls = {sp: [] for sp in sparsities}
     t0 = time.perf_counter()
     rng = np.random.default_rng(seed)
     motifs = data["motif_nodes"]
@@ -246,34 +262,38 @@ def run_node(ex_name, ex, data, g, num_explain, sparsity, seed=0,
         else:
             scores = ex.explain(g, target_label=label, node_idx=node)
         scores = np.where(khop_edges, np.asarray(scores, float), -np.inf)
-        mask = ExplainerShim.control_sparsity(scores, sparsity)
-        related = _shim(ex_name).eval_related_pred(g, [mask, mask],
-                                                   node_idx=node,
-                                                   domain=khop_edges)
-        col.collect_data([mask], related, label=label)
-        rec = _motif_recall(np.asarray(scores, float), g, motif_eids, k)
-        if rec is not None:
-            recalls.append(rec)
-    return {
-        "fidelity": round(col.fidelity, 4),
-        "fidelity_inv": round(col.fidelity_inv, 4),
-        "sparsity_measured": round(col.sparsity, 4),
-        "motif_recall": round(float(np.mean(recalls)), 4),
-        "seconds": round(time.perf_counter() - t0, 2),
-    }
+        for sp in sparsities:
+            mask = ExplainerShim.control_sparsity(scores, sp)
+            related = _shim(ex_name).eval_related_pred(g, [mask, mask],
+                                                       node_idx=node,
+                                                       domain=khop_edges)
+            cols[sp].collect_data([mask], related, label=label)
+            rec = _motif_recall(np.asarray(scores, float), g, motif_eids,
+                                k)
+            if rec is not None:
+                recalls[sp].append(rec)
+    per_sp = round((time.perf_counter() - t0) / max(len(sparsities), 1), 2)
+    return {sp: {
+        "fidelity": round(cols[sp].fidelity, 4),
+        "fidelity_inv": round(cols[sp].fidelity_inv, 4),
+        "sparsity_measured": round(cols[sp].sparsity, 4),
+        "motif_recall": round(float(np.mean(recalls[sp])), 4),
+        "seconds": per_sp,
+    } for sp in sparsities}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--graph_datasets", nargs="+",
-                   default=["ba_2motifs", "ba_lrp"])
+                   default=["ba_2motifs", "ba_lrp", "dense_vs_sparse"])
     p.add_argument("--node_datasets", nargs="+",
                    default=["ba_shapes", "tree_cycle", "tree_grid"])
     p.add_argument("--explainers", nargs="+",
-                   default=["gnnexplainer", "gradcam", "gnn_gi",
+                   default=["gnnexplainer", "pgexplainer", "gradcam",
+                            "gnn_gi", "deeplift", "flowx", "gnn_lrp",
                             "subgraphx", "random"])
     p.add_argument("--sparsities", nargs="+", type=float,
-                   default=[0.5, 0.6, 0.7, 0.8])
+                   default=[0.5, 0.6, 0.7, 0.8, 0.9])
     p.add_argument("--num_explain", type=int, default=10)
     p.add_argument("--epochs", type=int, default=2000)
     p.add_argument("--quick", action="store_true",
@@ -309,12 +329,13 @@ def main():
                 if ex_name == "pgexplainer":
                     gs = list(GraphClsLoader(data[: args.num_explain], 1))
                     ex.train_explanation_network(gs)
+                rows = run_graph_all(ex_name, ex, data, args.num_explain,
+                                     args.sparsities)
                 for sp in args.sparsities:
                     row = {"dataset": ds_name, "task": "graph",
                            "model": mname, "train_acc": round(acc, 4),
                            "explainer": ex_name, "sparsity": sp}
-                    row.update(run_graph(ex_name, ex, data,
-                                         args.num_explain, sp))
+                    row.update(rows[sp])
                     emit(row)
 
         for ds_name in args.node_datasets:
@@ -331,15 +352,21 @@ def main():
             g = node_task_batch(data)
             _SHIMS["related"] = GNN_GI(model, params)
             for ex_name in args.explainers:
-                if ex_name in ("subgraphx", "pgexplainer"):
-                    continue  # graph-level only in this sweep
+                if ex_name in ("subgraphx", "pgexplainer", "gnn_lrp"):
+                    # subgraphx/pgexplainer: graph-level only in this
+                    # sweep; gnn_lrp: walk enumeration is O(E^L) — fine
+                    # on ~100-edge molecules, 170 GB on the ~2k-edge
+                    # node-task graphs (reference gnn_lrp has the same
+                    # scaling and is likewise benchmarked on graph tasks)
+                    continue
                 ex = make_explainer(ex_name, model, params, ncls)
+                rows = run_node_all(ex_name, ex, data, g,
+                                    args.num_explain, args.sparsities)
                 for sp in args.sparsities:
                     row = {"dataset": ds_name, "task": "node",
                            "model": mname, "train_acc": round(acc, 4),
                            "explainer": ex_name, "sparsity": sp}
-                    row.update(run_node(ex_name, ex, data, g,
-                                        args.num_explain, sp))
+                    row.update(rows[sp])
                     emit(row)
     print(f"wrote {path}")
 

@@ -212,9 +212,21 @@ class SubgraphX(ExplainerBase):
                 sample_num=self.sample_num, node_idx=node_idx)
         return score
 
-    def explain(self, g: GraphBatch, label: int, max_nodes: int = 5,
+    def explain_multi(self, g: GraphBatch, label: int, max_nodes_list,
+                      node_idx: Optional[int] = None):
+        """One MCTS, many coalition-size budgets: returns
+        ``[(best, related), ...]`` for each entry of ``max_nodes_list``.
+        The search (the expensive part) is independent of the budget —
+        benchmark sweeps over sparsity reuse it instead of re-searching.
+        """
+        results = self._search(g, label, node_idx)
+        return [self._related_for(g, label,
+                                  find_closest_node_result(results, mn),
+                                  node_idx)
+                for mn in max_nodes_list]
+
+    def _search(self, g: GraphBatch, label: int,
                 node_idx: Optional[int] = None):
-        """Returns (best MCTSNode, related_pred dict for ``label``)."""
         if not hasattr(self, "_probs_fn"):
             model = self.model
 
@@ -234,9 +246,9 @@ class SubgraphX(ExplainerBase):
                                   vf_batch=vf_batch)
         mcts = MCTS(g, score_func, self.rollout, self.min_atoms,
                     self.c_puct, self.expand_atoms, self.high2low)
-        results = mcts.mcts()
-        best = find_closest_node_result(results, max_nodes)
+        return mcts.mcts()
 
+    def _related_for(self, g, label, best, node_idx=None):
         # hard edge mask from the coalition: edges inside it are important
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
         em = np.asarray(g.edge_mask)
@@ -244,8 +256,13 @@ class SubgraphX(ExplainerBase):
         mask = np.where(inside & em, np.inf, -np.inf).astype(np.float32)
         masks = [mask] * self.num_classes
         related = self.eval_related_pred(g, masks, node_idx=node_idx)
-        # sparsity from node coalition (reference reports node sparsity)
         n_real = int(np.asarray(g.node_mask).sum())
         related[label]["sparsity"] = 1.0 - len(best.coalition) / max(
             n_real, 1)
         return best, related[label]
+
+    def explain(self, g: GraphBatch, label: int, max_nodes: int = 5,
+                node_idx: Optional[int] = None):
+        """Returns (best MCTSNode, related_pred dict for ``label``)."""
+        return self.explain_multi(g, label, [max_nodes],
+                                  node_idx=node_idx)[0]

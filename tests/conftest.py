@@ -18,3 +18,51 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Slow-test marking (VERDICT r4 item 10): the full suite carries several
+# trained-fixture and model-level parity tests worth 15-60 s each on CPU.
+# They are auto-marked `slow` here (single list, no per-file decoration) so
+# the per-commit fast path stays quick:
+#
+#     python -m pytest tests/ -q -m "not slow" -n auto
+#
+# Full suite (unchanged): python -m pytest tests/ -q [-n auto]
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW = {
+    "test_nk_blocked.py::test_pronet_nk_matches_flat",
+    "test_nk_blocked.py::test_comenet_nk_matches_flat",
+    "test_nk_blocked.py::test_spherenet_blocked_matches_unblocked",
+    "test_spherenet.py::test_spherenet_bf16_close_to_f32",
+    "test_spherenet.py::test_pronet_levels_and_training",
+    "test_spherenet.py::test_rotation_translation_invariance",
+    "test_spherenet.py::test_force_training_decreases",
+    "test_pallas_triplet.py::test_spherenet_force_training_pallas_matches_unfused",
+    "test_pallas_triplet.py::test_spherenet_pallas_triplet_matches_unfused",
+    "test_pallas_basis_kernel.py::test_spherenet_fuse_basis_force_training_matches_unfused",
+    "test_pallas_basis_kernel.py::test_spherenet_fuse_basis_forward_matches_unfused",
+    "test_pallas_basis_kernel.py::test_second_order_force_training_grads",
+    "test_pallas_triplet_slot.py::test_spherenet_slot_force_training_matches_unfused",
+    "test_pallas_triplet_slot.py::test_spherenet_slot_forward_matches_unfused",
+    "test_pallas_triplet_slot.py::test_geom_kernel_matches_pt_chain",
+    "test_ggraph.py::test_jtvae_prop_opt",
+    "test_ggraph.py::test_jtvae_train_generate_reconstruct",
+    "test_xgraph.py::test_pgexplainer",
+    "test_modules_misc.py::test_graphaug_pipeline",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: trained-fixture / model-level parity tests "
+        "(15-60 s CPU each); deselect with -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = f"{item.path.name}::{item.originalname or item.name}"
+        if key in _SLOW:
+            item.add_marker(pytest.mark.slow)
