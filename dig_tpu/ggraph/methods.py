@@ -246,7 +246,13 @@ class GraphDF(Generator):
                     for b in range(B):
                         if resolved[b] or give_up[b]:
                             continue
-                        pe = _np_softmax(edge_dis[b] / temperature[1])
+                        # reference semantics (graphflow.py:100-105):
+                        # temperature MULTIPLIES the base logits (t < 1
+                        # flattens, t > 1 sharpens) — the node branch and
+                        # the reference both multiply; this line divided
+                        # until round 5, silently inverting the edge
+                        # temperature's meaning
+                        pe = _np_softmax(edge_dis[b] * temperature[1])
                         lid[b] = rng.choice(bond_dim, p=pe)
                         latent[b, lid[b]] = 1.0
                     ei = jnp.broadcast_to(
@@ -380,7 +386,7 @@ class GraphDF(Generator):
                 connected = False
                 for j in range(i if i < U else U):
                     pe = _np_softmax(edge_logits[edge_idx]
-                                     / temperature[1])
+                                     * temperature[1])
                     latent = np.zeros((1, bond_dim), np.float32)
                     lid = rng.choice(bond_dim, p=pe)
                     latent[0, lid] = 1.0
