@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import segment_max, segment_mean, segment_min, segment_sum
-from ..ops.segment import segment_sum_sorted, spmm_bidir_csr
+from ..ops.segment import (segment_sum_sorted, spmm_bidir_csr,
+                           spmm_bidir_sell)
 from ..ops.pallas_segment import _on_tpu
 from .history import FeatureMomentum, History
 from .loader import EvalSubgraphLoader, SubData
@@ -31,10 +32,24 @@ xavier = jax.nn.initializers.glorot_uniform()
 
 
 def _sub_csr(sub):
-    # CSR tables for dig_tpu.ops.segment.spmm_bidir_csr
-    return (jnp.asarray(sub.rowptr), jnp.asarray(sub.rev_perm),
-            jnp.asarray(sub.send_ids_sorted),
-            jnp.asarray(sub.rowptr_rev))
+    """Aggregation tables for one SubData. When the SubData is host-side
+    (numpy rowptrs — the loaders always hand these out), SELL plans are
+    built once and cached on the instance; inside a trace (SubData as a
+    jit argument) plans cannot be built and the CSR kernel path is used.
+    """
+    csr = (jnp.asarray(sub.rowptr), jnp.asarray(sub.rev_perm),
+           jnp.asarray(sub.send_ids_sorted),
+           jnp.asarray(sub.rowptr_rev))
+    sell = None
+    if isinstance(sub.rowptr, np.ndarray):
+        sell = getattr(sub, "_sell_plans", None)
+        if sell is None:
+            from ..ops.sell import build_sell_plan
+            sell = (build_sell_plan(sub.rowptr),
+                    jnp.asarray(sub.rev_perm),
+                    build_sell_plan(sub.rowptr_rev))
+            object.__setattr__(sub, "_sell_plans", sell)
+    return {"csr": csr, "sell": sell}
 
 
 def _sub_gcn_norm(senders, receivers, edge_mask, num_rows):
@@ -45,6 +60,31 @@ def _sub_gcn_norm(senders, receivers, edge_mask, num_rows):
     do = jax.lax.rsqrt(deg_out)
     coef = di[receivers] * do[senders]
     return jnp.where(edge_mask, coef, 0.0), di * di
+
+
+def _aggregate(h, coef, senders, receivers, edge_mask, N, tables,
+               segment_eb, segment_br):
+    """out[r] = sum_e coef[e] * h[senders[e]], fastest available path:
+    SELL plans > Pallas CSR kernel (TPU) > sorted-CSR > plain scatter."""
+    sell = tables.get("sell") if isinstance(tables, dict) else None
+    csr = tables.get("csr") if isinstance(tables, dict) else tables
+    if sell is not None:
+        plan_fwd, rev_perm, plan_rev = sell
+        recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
+        return spmm_bidir_sell(h, coef, senders, recv_ids, plan_fwd,
+                               rev_perm, plan_rev)
+    if segment_eb > 0 and csr is not None and _on_tpu():
+        rowptr, rev_perm, sss, rowptr_rev = csr
+        recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
+        return spmm_bidir_csr(h, coef, senders, recv_ids, rowptr,
+                              rev_perm, sss, rowptr_rev, N,
+                              segment_eb, segment_br)
+    if segment_eb > 0:
+        return segment_sum_sorted(h[senders] * coef[:, None], receivers,
+                                  N, mask=edge_mask,
+                                  max_edges_per_block=segment_eb)
+    return segment_sum(h[senders] * coef[:, None], receivers, N,
+                       mask=edge_mask)
 
 
 class _GCNLayer(nn.Module):
@@ -58,19 +98,8 @@ class _GCNLayer(nn.Module):
         h = nn.Dense(self.out_dim, kernel_init=xavier)(x)
         N = x.shape[0]
         coef, self_coef = _sub_gcn_norm(senders, receivers, edge_mask, N)
-        if self.segment_eb > 0 and csr is not None and _on_tpu():
-            rowptr, rev_perm, sss, rowptr_rev = csr
-            recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
-            agg = spmm_bidir_csr(h, coef, senders, recv_ids, rowptr,
-                                 rev_perm, sss, rowptr_rev, N,
-                                 self.segment_eb, self.segment_br)
-        elif self.segment_eb > 0:
-            agg = segment_sum_sorted(h[senders] * coef[:, None], receivers,
-                                     N, mask=edge_mask,
-                                     max_edges_per_block=self.segment_eb)
-        else:
-            agg = segment_sum(h[senders] * coef[:, None], receivers, N,
-                              mask=edge_mask)
+        agg = _aggregate(h, coef, senders, receivers, edge_mask, N, csr,
+                         self.segment_eb, self.segment_br)
         return agg + self_coef[:, None] * h
 
 
@@ -87,19 +116,8 @@ class _GCN2Layer(nn.Module):
     def __call__(self, x, x0, senders, receivers, edge_mask, csr=None):
         N = x.shape[0]
         coef, self_coef = _sub_gcn_norm(senders, receivers, edge_mask, N)
-        if self.segment_eb > 0 and csr is not None and _on_tpu():
-            rowptr, rev_perm, sss, rowptr_rev = csr
-            recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
-            agg = spmm_bidir_csr(x, coef, senders, recv_ids, rowptr,
-                                 rev_perm, sss, rowptr_rev, N,
-                                 self.segment_eb, self.segment_br)
-        elif self.segment_eb > 0:
-            agg = segment_sum_sorted(x[senders] * coef[:, None], receivers,
-                                     N, mask=edge_mask,
-                                     max_edges_per_block=self.segment_eb)
-        else:
-            agg = segment_sum(x[senders] * coef[:, None], receivers, N,
-                              mask=edge_mask)
+        agg = _aggregate(x, coef, senders, receivers, edge_mask, N, csr,
+                         self.segment_eb, self.segment_br)
         agg = agg + self_coef[:, None] * x
         h = (1 - self.alpha) * agg + self.alpha * x0
         w = nn.Dense(self.dim, use_bias=False, kernel_init=xavier)(h)

@@ -94,3 +94,51 @@ def test_sell_jit_closure():
     ref = jax.ops.segment_sum(data, seg, num_segments=N)
     np.testing.assert_allclose(np.asarray(f(data)), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_bidir_sell_matches_plain():
+    """spmm_bidir_sell == plain masked segment-sum formulation, forward
+    and d/dh (the adjoint rides the reverse SELL plan)."""
+    from dig_tpu.ops.segment import segment_sum, spmm_bidir_sell
+    rng = np.random.default_rng(5)
+    N, F = 40, 16
+    E = 300
+    senders = rng.integers(0, N, E).astype(np.int32)
+    receivers = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    E_pad = 352
+    em = np.zeros(E_pad, bool)
+    em[:E] = True
+    s_p = np.zeros(E_pad, np.int32); s_p[:E] = senders
+    r_p = np.zeros(E_pad, np.int32); r_p[:E] = receivers
+    rowptr = np.zeros(N + 1, np.int64)
+    np.add.at(rowptr[1:], receivers, 1)
+    rowptr = np.cumsum(rowptr)
+    order = np.argsort(s_p[:E], kind="stable")
+    rev_perm = np.concatenate([order, np.arange(E, E_pad)]).astype(np.int32)
+    rowptr_rev = np.zeros(N + 1, np.int64)
+    np.add.at(rowptr_rev[1:], senders, 1)
+    rowptr_rev = np.cumsum(rowptr_rev)
+    from dig_tpu.ops.sell import build_sell_plan
+    plan_fwd = build_sell_plan(rowptr)
+    plan_rev = build_sell_plan(rowptr_rev)
+    h = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    coef = jnp.asarray(np.where(em, rng.uniform(0.1, 1, E_pad), 0.0)
+                       .astype(np.float32))
+    recv_ids = jnp.asarray(np.where(em, r_p, -1).astype(np.int32))
+
+    def f_sell(h):
+        return spmm_bidir_sell(h, coef, jnp.asarray(s_p), recv_ids,
+                               plan_fwd, jnp.asarray(rev_perm), plan_rev)
+
+    def f_ref(h):
+        msg = h[jnp.asarray(s_p)] * coef[:, None]
+        return segment_sum(msg, jnp.asarray(r_p), N,
+                           mask=jnp.asarray(em))
+
+    np.testing.assert_allclose(np.asarray(f_sell(h)), np.asarray(f_ref(h)),
+                               rtol=1e-5, atol=1e-5)
+    w = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    g1 = jax.grad(lambda h: jnp.sum(f_sell(h) * w))(h)
+    g2 = jax.grad(lambda h: jnp.sum(f_ref(h) * w))(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
