@@ -631,13 +631,17 @@ def bench_ggraph_gen():
     ld = DenseMolLoader(ds, 32, shuffle=True)
     df = GraphDF()
     # Train to convergence (VERDICT r4 item 8): the r4 bench trained 2
-    # epochs, so validity_no_resample (0.188) measured undertraining, not
-    # the sampler. 150 epochs on the synthetic corpus reach loss ~0.11
-    # and no-resample validity 0.65 (T=1) / 0.73-0.88 (sharpened) —
-    # the reference's ~0.89 QM9 ballpark. Temperature here MULTIPLIES
+    # epochs. 150 epochs reach loss ~0.11-0.13; temperature MULTIPLIES
     # base logits (reference graphflow.py semantics; the edge branch
     # divided until r5, inverting its meaning), so (1, 2) = neutral node
-    # sampling + mildly sharpened bonds.
+    # sampling + mildly sharpened bonds. Caveat, measured r5: at matched
+    # loss the no-resample rate varies 0.25-0.65 across numerically
+    # equivalent training runs, and DEEPER convergence (400 epochs
+    # cosine, loss 0.071) made it WORSE (0.08-0.13) — on a 40-molecule
+    # corpus the discrete-flow NLL simply does not control first-try
+    # validity (analysis: docs/performance.md 'GraphDF no-resample
+    # validity'). The reference's ~0.89 needs the 130k-molecule QM9 set
+    # (zero-egress-blocked here).
     df.train_rand_gen(ld, lr=1e-3, wd=0, max_epochs=150,
                       model_conf_dict=conf, verbose=False)
     n = 48

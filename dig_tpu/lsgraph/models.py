@@ -64,11 +64,20 @@ def _sub_gcn_norm(senders, receivers, edge_mask, num_rows):
 
 def _aggregate(h, coef, senders, receivers, edge_mask, N, tables,
                segment_eb, segment_br):
-    """out[r] = sum_e coef[e] * h[senders[e]], fastest available path:
-    SELL plans > Pallas CSR kernel (TPU) > sorted-CSR > plain scatter."""
+    """out[r] = sum_e coef[e] * h[senders[e]], fastest available path.
+
+    Preference (measured, round 5): on TPU the Pallas CSR kernel beats
+    SELL on the partitioned SUBGRAPHS (7.8M vs 6.2M edges/s epoch
+    throughput) — half the rows are zero-degree halo/padding rows that
+    SELL still pads to 4-wide gathers, and both directions pay an
+    unpermute gather — even though SELL wins ~2x on the full-graph
+    segment-sum shape (bench_spmm). Off TPU (or without a sized edge
+    window) SELL replaces the unsorted XLA scatter-add.
+    """
     sell = tables.get("sell") if isinstance(tables, dict) else None
     csr = tables.get("csr") if isinstance(tables, dict) else tables
-    if sell is not None:
+    if sell is not None and not (segment_eb > 0 and csr is not None
+                                 and _on_tpu()):
         plan_fwd, rev_perm, plan_rev = sell
         recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
         return spmm_bidir_sell(h, coef, senders, recv_ids, plan_fwd,
