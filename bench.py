@@ -124,6 +124,12 @@ def bench_spherenet():
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
 
+    # Measured r5: slot-bucketed batches ({16,24,29}, -20% edge rows) do
+    # NOT pay on the 21 ms energy step — the per-bucket fixed costs
+    # (three radius/triplet builds + three half-size kernel grids) eat
+    # the row savings (1.41M bucketed / 1.32M two-bucket vs 1.46M
+    # single-slot). The force step is long enough that bucketing wins
+    # there (bench_spherenet_force).
     G, n_steps = 96, 10
     mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
                                max_atoms=29, box=6.0)
@@ -195,40 +201,55 @@ def bench_spherenet_force():
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
 
-    G, n_steps = 96, 10
-    mols = synthetic_molecules(G * (n_steps + 1), seed=0, min_atoms=12,
+    # Slot-bucketed batches (round 5): molecules ride {16, 24, 29}
+    # slots (counts sized to the uniform 12-29 distribution; avg slot
+    # 23.2 vs 29 = ~20% fewer edge rows; 16*16/24*16 lanes give S=1
+    # kernel tiles). Measured: 529k vs 490k single-slot on the 57-62 ms
+    # force step (the 21 ms energy step loses to the per-bucket fixed
+    # costs and stays single-slot).
+    SLOTS = {16: 27, 24: 43, 29: 26}
+    G, n_steps = sum(SLOTS.values()), 10
+    mols = synthetic_molecules(G * (n_steps + 4), seed=0, min_atoms=12,
                                max_atoms=29, box=6.0)
     rng = np.random.default_rng(0)
     for m in mols:
         m["force"] = rng.normal(size=m["pos"].shape).astype(np.float32)
-    loader = MoleculeLoader(mols, G, slot_size=29, shuffle=True, seed=0)
-    model = SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
-                      num_spherical=3, num_radial=6, nk_degree=16,
-                      block_size=29, compute_dtype=jnp.bfloat16,
-                      pallas_triplet=True, pallas_fuse_basis=True,
-                      pallas_slot=True)
+    from dig_tpu.datasets import BucketedMoleculeLoader
+    loader = BucketedMoleculeLoader(mols, SLOTS, shuffle=True, seed=0)
+    def mk(s):
+        return SphereNet(cutoff=5.0, num_layers=4, hidden_channels=128,
+                         num_spherical=3, num_radial=6, nk_degree=16,
+                         block_size=s, compute_dtype=jnp.bfloat16,
+                         pallas_triplet=True, pallas_fuse_basis=True,
+                         pallas_slot=True)
+    models = {s: mk(s) for s in SLOTS}
     opt = optax.adam(5e-4)
     it = iter(loader)
     batches = [next(it) for _ in range(n_steps)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+    params = jax.jit(models[29].init)(jax.random.PRNGKey(0),
+                                      batches[0][29])
     opt_state = opt.init(params)
 
     def train_step(carry, b):
         params, opt_state = carry
 
         def loss_fn(p):
-            def esum(pos):
-                g_ = b.replace(nodes={**b.nodes, "pos": pos})
-                e = model.apply(p, g_)[:, 0]
-                return jnp.sum(jnp.where(b.graph_mask, e, 0.0)), e
+            num = den = 0.0
+            for s, g in b.items():
+                def esum(pos, g=g, s=s):
+                    g_ = g.replace(nodes={**g.nodes, "pos": pos})
+                    e = models[s].apply(p, g_)[:, 0]
+                    return jnp.sum(jnp.where(g.graph_mask, e, 0.0)), e
 
-            (_, e), gpos = jax.value_and_grad(esum, has_aux=True)(
-                b.nodes["pos"])
-            num = jnp.sum(jnp.abs(e - b.globals["y"][:, 0]) * b.graph_mask)
-            num += 100.0 * jnp.sum(jnp.abs(-gpos - b.nodes["force"])
-                                   * b.node_mask[:, None])
-            return num / jnp.maximum(jnp.sum(b.graph_mask), 1.0)
+                (_, e), gpos = jax.value_and_grad(esum, has_aux=True)(
+                    g.nodes["pos"])
+                num += jnp.sum(jnp.abs(e - g.globals["y"][:, 0])
+                               * g.graph_mask)
+                num += 100.0 * jnp.sum(jnp.abs(-gpos - g.nodes["force"])
+                                       * g.node_mask[:, None])
+                den += jnp.sum(g.graph_mask)
+            return num / jnp.maximum(den, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -242,13 +263,15 @@ def bench_spherenet_force():
 
     edges = 0
     for b in batches:
-        pos = np.asarray(b.nodes["pos"])
-        nm = np.asarray(b.node_mask)
-        ng = np.asarray(b.node_graph)
-        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
-        adj = ((d < 5.0) & ~np.eye(len(pos), dtype=bool)
-               & nm[:, None] & nm[None, :] & (ng[:, None] == ng[None, :]))
-        edges += int(adj.sum())
+        for g in b.values():
+            pos = np.asarray(g.nodes["pos"])
+            nm = np.asarray(g.node_mask)
+            ng = np.asarray(g.node_graph)
+            d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+            adj = ((d < 5.0) & ~np.eye(len(pos), dtype=bool)
+                   & nm[:, None] & nm[None, :]
+                   & (ng[:, None] == ng[None, :]))
+            edges += int(adj.sum())
 
     params, opt_state, losses = epoch(params, opt_state, stacked)
     float(losses[-1])

@@ -298,3 +298,91 @@ class BucketedDenseMoleculeLoader:
                 pending = rest
             if any(state[s][2] for s in self.sizes):
                 yield self._emit(state)
+
+
+class BucketedMoleculeLoader:
+    """Slot-bucketed NK-path batches: each batch is a dict
+    ``{slot_size: GraphBatch}`` with a fixed graph count per bucket.
+
+    The slot/NK models' cost is ~linear in ``G * slot_size * K`` edge
+    rows, so padding every molecule to the global max atom count wastes
+    ~20% on the 12-29-atom flagship distribution; routing each molecule
+    to the smallest bucket that fits it recovers that (the NK analog of
+    :class:`BucketedDenseMoleculeLoader`; the consumer applies the model
+    once per bucket and concatenates — e.g. bench.py's SphereNet
+    sections). Bucket sizes must keep the slot kernels' layout legal —
+    any size works, but ``size * K`` being a multiple of 128 gives S=1
+    tiles (16/24 at K=16; the top bucket can stay ragged like 29).
+
+    Args mirror :class:`MoleculeLoader`; ``slot_counts`` maps slot size
+    to graphs per batch (size the proportions to the data distribution;
+    with ``shuffle`` the ragged tail is dropped, otherwise emitted with
+    under-filled buckets padded by empty masked graphs).
+    """
+
+    def __init__(self, data: Sequence[Dict[str, np.ndarray]],
+                 slot_counts: Dict[int, int], shuffle: bool = False,
+                 seed: int = 0):
+        self.data = list(data)
+        self.slot_counts = dict(sorted(slot_counts.items()))
+        self.sizes = list(self.slot_counts)
+        big = max(len(m["z"]) for m in self.data)
+        if big > self.sizes[-1]:
+            raise ValueError(f"molecule with {big} atoms exceeds largest "
+                             f"bucket {self.sizes[-1]}")
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def _graph(self, m):
+        nodes = {"z": m["z"], "pos": m["pos"]}
+        if "force" in m:
+            nodes["force"] = m["force"]
+        glb = {"y": np.atleast_1d(m["y"])}
+        if "cell" in m:
+            glb["cell"] = m["cell"]
+        return {"nodes": nodes, "globals": glb,
+                "senders": np.zeros(0, np.int32),
+                "receivers": np.zeros(0, np.int32)}
+
+    def _emit(self, state):
+        out = {}
+        for s, G in self.slot_counts.items():
+            chunk = state[s][:G]
+            if not chunk:
+                # keep the emitted pytree structure identical: pack one
+                # truncated template molecule, then mask it out
+                t = dict(self.data[0])
+                n = min(len(t["z"]), s)
+                for k, v in list(t.items()):
+                    if (k != "y" and np.ndim(v) >= 1
+                            and np.shape(v)[0] == len(self.data[0]["z"])):
+                        t[k] = np.asarray(v)[:n]
+                b = batch_np([self._graph(t)], G * s, n_edge_pad=1,
+                             num_graphs=G, slot_size=s)
+                out[s] = b.replace(
+                    node_mask=np.zeros_like(b.node_mask),
+                    graph_mask=np.zeros_like(b.graph_mask))
+            else:
+                out[s] = batch_np([self._graph(m) for m in chunk],
+                                  G * s, n_edge_pad=1, num_graphs=G,
+                                  slot_size=s)
+            state[s] = state[s][G:]
+        return out
+
+    def __iter__(self):
+        order = np.arange(len(self.data))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        state = {s: [] for s in self.sizes}
+        for i in order:
+            m = self.data[i]
+            s = next(t for t in self.sizes if len(m["z"]) <= t)
+            state[s].append(m)
+            if all(len(state[t]) >= self.slot_counts[t]
+                   for t in self.sizes):
+                yield self._emit(state)
+        while not self.shuffle and any(len(v) for v in state.values()):
+            yield self._emit(state)

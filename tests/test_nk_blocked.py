@@ -221,3 +221,39 @@ def test_slot_loader_overflow_raises():
     mols = synthetic_molecules(4, seed=0, min_atoms=9, max_atoms=12)
     with pytest.raises(ValueError):
         next(iter(MoleculeLoader(mols, 4, slot_size=8)))
+
+
+def test_bucketed_molecule_loader_energy_parity():
+    """Bucketed slot batches == the single-slot loader: the same molecule
+    must get the same energy whether it rides a 16-, 24- or 29-atom slot
+    (slot padding is fully masked)."""
+    import jax
+    import numpy as np
+    from dig_tpu.datasets import (BucketedMoleculeLoader, MoleculeLoader,
+                                  synthetic_molecules)
+    from dig_tpu.models import SphereNet
+
+    mols = synthetic_molecules(12, seed=0, min_atoms=12, max_atoms=29,
+                               box=6.0)
+    model = SphereNet(cutoff=5.0, num_layers=2, hidden_channels=32,
+                      num_spherical=2, num_radial=3, nk_degree=8,
+                      block_size=29)
+    g29 = next(iter(MoleculeLoader(mols, 12, slot_size=29)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), g29)
+    e_ref = np.asarray(model.apply(params, g29))[:, 0]
+
+    bl = BucketedMoleculeLoader(mols, {16: 4, 24: 6, 29: 2})
+    e_by_y = {}
+    for batch in bl:
+        for s, g in batch.items():
+            sub = SphereNet(cutoff=5.0, num_layers=2, hidden_channels=32,
+                            num_spherical=2, num_radial=3, nk_degree=8,
+                            block_size=s)
+            e = np.asarray(sub.apply(params, g))[:, 0]
+            y = np.asarray(g.globals["y"])[:, 0]
+            gm = np.asarray(g.graph_mask)
+            for yi, ei in zip(y[gm], e[gm]):
+                e_by_y[round(float(yi), 6)] = ei
+    y_ref = np.asarray(g29.globals["y"])[:, 0]
+    got = np.array([e_by_y[round(float(v), 6)] for v in y_ref])
+    np.testing.assert_allclose(got, e_ref, rtol=5e-4, atol=5e-4)
