@@ -196,7 +196,9 @@ def bench_spherenet_force():
     loss & expand-op closure 277k -> +fused 2nd-order kernels 315k ->
     +packed-basis kernels & closed gathers & torsion argmin 332k ->
     round-4 slot-resident kernels (zero [T, C] HBM tensors, s as a grid
-    axis, diamond-angle torsion argmin) 480k edges/s.
+    axis, diamond-angle torsion argmin) 490k -> round-5 slot-bucketed
+    batches 536k edges/s. (r5 also measured two negatives: 32-atom slots
+    and in-kernel basis evaluation — docs/performance.md.)
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
