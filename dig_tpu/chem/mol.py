@@ -141,6 +141,18 @@ def mol_to_dense(mol: Mol, atom_list: Sequence[int], max_size: int,
         ch = min(max(ch, 0), 2)
         adj[ch, i, j] = adj[ch, j, i] = 1.0
         adj[3, i, j] = adj[3, j, i] = 0.0
+    # Self-loops on every channel for REAL atoms: the autoregressive
+    # samplers build prefixes with adj[:, i, i] = 1 as atom i is added
+    # (methods.py, mirroring reference graphflow.py:108), so training
+    # tensors must look the same or the reverse flow is conditioned out
+    # of distribution — measured round 5, this mismatch (training diag 0)
+    # made first-try validity erratic across training runs (0.08-0.65 at
+    # matched NLL). The reference's PygDataset adds np.eye over ALL rows
+    # AFTER the ch-3 complement (PygDataset.py:246), giving its virtual
+    # channel a 2.0 diagonal and self-loops on padding rows — we match
+    # the GENERATION convention (1.0, real atoms only) instead.
+    for old_i in range(n):
+        adj[:, inv[old_i], inv[old_i]] = 1.0
     return x, adj
 
 

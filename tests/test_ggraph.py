@@ -239,11 +239,13 @@ def test_jtmpn_merge_semantics():
 
 def test_graphdf_edge_temperature_sharpens():
     """Generation temperature MULTIPLIES the base logits (reference
-    graphflow.py semantics): sharpened sampling (t > 1) of a trained
-    model must produce no FEWER first-try-valid molecules than
-    near-uniform sampling (t ~ 0). The edge branch divided by the
-    temperature until round 5, silently inverting its meaning (T->0
-    made sampling sharper on edges but flatter on nodes)."""
+    graphflow.py semantics: t >> 1 sharpens toward argmax, t ~ 0
+    flattens toward uniform). At t = 1000 on BOTH branches sampling is
+    effectively deterministic, so two different rng seeds must generate
+    the SAME molecules; at t = 0.02 they must not. The edge branch
+    divided by the temperature until round 5 (inverting its meaning),
+    which this catches: under the old code a large t flattened bonds and
+    the seeds would diverge."""
     from dig_tpu.ggraph import (DenseMolLoader, GraphDF,
                                 synthetic_smiles_dataset)
     conf = dict(max_size=9, edge_unroll=4, node_dim=4, bond_dim=4,
@@ -251,11 +253,22 @@ def test_graphdf_edge_temperature_sharpens():
     ld = DenseMolLoader(synthetic_smiles_dataset(repeat=4), 32,
                         shuffle=True)
     df = GraphDF()
-    df.train_rand_gen(ld, lr=2e-3, wd=0, max_epochs=15,
+    df.train_rand_gen(ld, lr=2e-3, wd=0, max_epochs=10,
                       model_conf_dict=conf, verbose=False)
-    n = 24
-    _, pure_sharp = df.run_rand_gen(n_mols=n, temperature=(1.0, 2.0),
-                                    seed=3)
-    _, pure_flat = df.run_rand_gen(n_mols=n, temperature=(0.05, 0.05),
-                                   seed=3)
-    assert sum(pure_sharp) >= sum(pure_flat)
+    n = 12
+
+    def fingerprint(mols):
+        return [(tuple(a.z for a in m.atoms),
+                 tuple(sorted((i, j, o) for (i, j), o in m.bonds.items())))
+                if m is not None else None for m in mols]
+
+    sharp_a, _ = df.run_rand_gen(n_mols=n, temperature=(1000.0, 1000.0),
+                                 seed=3)
+    sharp_b, _ = df.run_rand_gen(n_mols=n, temperature=(1000.0, 1000.0),
+                                 seed=4)
+    assert fingerprint(sharp_a) == fingerprint(sharp_b)
+    flat_a, _ = df.run_rand_gen(n_mols=n, temperature=(0.02, 0.02),
+                                seed=3)
+    flat_b, _ = df.run_rand_gen(n_mols=n, temperature=(0.02, 0.02),
+                                seed=4)
+    assert fingerprint(flat_a) != fingerprint(flat_b)
