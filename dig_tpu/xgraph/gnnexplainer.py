@@ -121,6 +121,44 @@ class GNNExplainer(ExplainerBase):
         edge_mask = np.where(np.asarray(g.edge_mask), edge_mask, -np.inf)
         return edge_mask, np.asarray(masks["feat"])
 
+    def explain_batch(self, graphs: List[GraphBatch], target_labels,
+                      node_idxs=None, seed: int = 0,
+                      mask_features: bool = True):
+        """Optimize EVERY graph's masks in one vmapped jitted scan
+        (round 5): B mask optimizations ride one dispatch instead of B
+        sequential ones (through the tunnel each separate run pays
+        10-30 ms latency x epochs of dispatch pipelining). Graphs must
+        share padded shapes (one loader). Returns a list of
+        (edge_mask_logits [E], feat_mask_logits [F]) like
+        :meth:`explain` and matches it sample-for-sample (same per-graph
+        PRNG streams).
+        """
+        B = len(graphs)
+        gs = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+        E = graphs[0].num_edges
+        F = graphs[0].nodes["x"].shape[-1]
+        rows = jnp.asarray(np.zeros(B, np.int32) if node_idxs is None
+                           else np.asarray(node_idxs, np.int32))
+        labels = jnp.asarray(np.asarray(target_labels, np.int32))
+        e0, f0 = [], []
+        for b in range(B):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed + b))
+            e0.append(3.0 + 0.1 * jax.random.normal(k1, (E,)))
+            f0.append(3.0 + 0.1 * jax.random.normal(k2, (F,)))
+        if not hasattr(self, "_run_batch"):
+            self._run_batch = jax.jit(
+                jax.vmap(self._make_run(), in_axes=(0, 0, 0, 0, None)),
+                static_argnums=(4,))
+        masks, _ = self._run_batch(
+            {"edge": jnp.stack(e0), "feat": jnp.stack(f0)}, gs, rows,
+            labels, mask_features)
+        out = []
+        for b, g in enumerate(graphs):
+            em = np.asarray(masks["edge"][b])
+            em = np.where(np.asarray(g.edge_mask), em, -np.inf)
+            out.append((em, np.asarray(masks["feat"][b])))
+        return out
+
     def __call__(self, g: GraphBatch, num_classes: int = 2,
                  sparsity: float = 0.7, node_idx: Optional[int] = None,
                  **kwargs):

@@ -321,3 +321,18 @@ def test_sentigraph_dataset_from_cache(tmp_path):
     loader = GraphClsLoader(graphs, 2)
     b = next(iter(loader))
     assert b.nodes["x"].shape[-1] == 2
+
+
+def test_gnnexplainer_batch_matches_sequential(trained):
+    """explain_batch == explain graph-by-graph (same per-graph PRNG:
+    batch entry b uses the seed+b stream)."""
+    model, params, g = trained
+    data = synthetic_graph_dataset(4, seed=7, feat_dim=8)
+    gs = list(GraphClsLoader(data, 1))
+    ex = GNNExplainer(model, params, epochs=15, lr=0.05)
+    labels = [int(d["y"]) for d in data]
+    batch = ex.explain_batch(gs, labels, seed=0)
+    for b, (gb, (em_b, fm_b)) in enumerate(zip(gs, batch)):
+        em_s, fm_s = ex.explain(gb, target_label=labels[b], seed=b)
+        np.testing.assert_allclose(em_b, em_s, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(fm_b, fm_s, rtol=2e-4, atol=2e-4)
