@@ -182,18 +182,46 @@ class Contrastive:
             p = optax.apply_updates(p, updates)
             return p, opt_state, loss
 
+        @jax.jit
+        def epoch_fn(p, opt_state, stacked, key):
+            # whole epoch in ONE dispatch (round 5): the per-batch loop
+            # below syncs float(loss) every step — through a high-latency
+            # link (10-30 ms/round trip on the bench tunnel) that costs
+            # more than the compute. Same key schedule as the loop.
+            def body(carry, g):
+                p, opt_state, key = carry
+                key, sk = jax.random.split(key)
+                p, opt_state, loss = step(p, opt_state, g, sk)
+                return (p, opt_state, key), loss
+            (p, opt_state, key), losses = jax.lax.scan(
+                body, (p, opt_state, key), stacked)
+            return p, opt_state, key, jnp.mean(losses)
+
+        def _uniform(batches):
+            shapes = [jax.tree.map(jnp.shape, b) for b in batches]
+            return all(sh == shapes[0] for sh in shapes[1:])
+
         best_loss = float("inf")
         best_params = params
         epoch_loss = float("nan")
         for epoch in range(epochs):
-            epoch_loss = 0.0
-            nb = 0
-            for g in data_loader:
-                key, sk = jax.random.split(key)
-                params, opt_state, loss = step(params, opt_state, g, sk)
-                epoch_loss += float(loss)
-                nb += 1
-            epoch_loss /= max(nb, 1)
+            batches = list(data_loader)
+            if len(batches) > 1 and _uniform(batches):
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                params, opt_state, key, el = epoch_fn(params, opt_state,
+                                                      stacked, key)
+                epoch_loss = float(el)
+                nb = len(batches)
+            else:
+                epoch_loss = 0.0
+                nb = 0
+                for g in batches:
+                    key, sk = jax.random.split(key)
+                    params, opt_state, loss = step(params, opt_state, g,
+                                                   sk)
+                    epoch_loss += float(loss)
+                    nb += 1
+                epoch_loss /= max(nb, 1)
             if epoch_loss < best_loss:
                 best_loss = epoch_loss
                 if self.choice_model == "best":
