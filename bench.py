@@ -197,8 +197,10 @@ def bench_spherenet_force():
     +packed-basis kernels & closed gathers & torsion argmin 332k ->
     round-4 slot-resident kernels (zero [T, C] HBM tensors, s as a grid
     axis, diamond-angle torsion argmin) 490k -> round-5 slot-bucketed
-    batches 536k edges/s. (r5 also measured two negatives: 32-atom slots
-    and in-kernel basis evaluation — docs/performance.md.)
+    batches 536k edges/s. (r5 also measured three negatives: 32-atom
+    slots, in-kernel basis evaluation — docs/performance.md — and
+    remat=True over UpdateE, 378k: recomputing the kernel forwards at
+    every AD level costs more than the residual traffic they replace.)
     """
     from dig_tpu.datasets import MoleculeLoader, synthetic_molecules
     from dig_tpu.models import SphereNet
