@@ -257,3 +257,26 @@ def test_bucketed_molecule_loader_energy_parity():
     y_ref = np.asarray(g29.globals["y"])[:, 0]
     got = np.array([e_by_y[round(float(v), 6)] for v in y_ref])
     np.testing.assert_allclose(got, e_ref, rtol=5e-4, atol=5e-4)
+
+
+def test_bucketed_molecule_loader_edge_cases():
+    import numpy as np
+    import pytest
+    from dig_tpu.datasets import BucketedMoleculeLoader, synthetic_molecules
+
+    mols = synthetic_molecules(10, seed=1, min_atoms=12, max_atoms=29)
+    with pytest.raises(ValueError):
+        BucketedMoleculeLoader(mols, {16: 4})   # 29-atom mol > 16
+    # eval mode (no shuffle) drains everything, padding short buckets
+    bl = BucketedMoleculeLoader(mols, {16: 2, 29: 2})
+    seen = 0
+    for batch in bl:
+        for s, g in batch.items():
+            assert g.num_graphs == 2            # static per-bucket count
+            seen += int(np.asarray(g.graph_mask).sum())
+    assert seen == 10                           # nothing dropped or lost
+    # shuffle mode drops the ragged tail but keeps full batches only
+    bl2 = BucketedMoleculeLoader(mols, {16: 2, 29: 2}, shuffle=True)
+    for batch in bl2:
+        for s, g in batch.items():
+            assert int(np.asarray(g.graph_mask).sum()) == 2
