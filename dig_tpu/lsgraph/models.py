@@ -66,18 +66,19 @@ def _aggregate(h, coef, senders, receivers, edge_mask, N, tables,
                segment_eb, segment_br):
     """out[r] = sum_e coef[e] * h[senders[e]], fastest available path.
 
-    Preference (measured, round 5): on TPU the Pallas CSR kernel beats
-    SELL on the partitioned SUBGRAPHS (7.8M vs 6.2M edges/s epoch
-    throughput) — half the rows are zero-degree halo/padding rows that
-    SELL still pads to 4-wide gathers, and both directions pay an
-    unpermute gather — even though SELL wins ~2x on the full-graph
-    segment-sum shape (bench_spmm). Off TPU (or without a sized edge
-    window) SELL replaces the unsorted XLA scatter-add.
+    Preference (measured, round 5): SELL plans first. An early SELL cut
+    measured 6.2M vs the Pallas CSR kernel's 7.8M edges/s on the
+    partitioned subgraphs — ~half their rows are zero-degree halo/
+    padding rows that the plan padded to 4-wide gathers; with degree-0
+    rows skipped entirely (build_sell_plan emits a zeros block instead)
+    SELL reaches 7.74M, parity with the kernel, while staying pure XLA
+    (every backend, no edge-window sizing) and winning ~2x on full-graph
+    shapes (bench_spmm). The CSR kernel remains the fallback when plans
+    cannot be built (SubData arriving as a traced jit argument).
     """
     sell = tables.get("sell") if isinstance(tables, dict) else None
     csr = tables.get("csr") if isinstance(tables, dict) else tables
-    if sell is not None and not (segment_eb > 0 and csr is not None
-                                 and _on_tpu()):
+    if sell is not None:
         plan_fwd, rev_perm, plan_rev = sell
         recv_ids = jnp.where(edge_mask, receivers.astype(jnp.int32), -1)
         return spmm_bidir_sell(h, coef, senders, recv_ids, plan_fwd,

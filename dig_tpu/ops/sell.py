@@ -51,6 +51,8 @@ class SellPlan:
     num_rows: int
     num_edges: int
     pad_overhead: float     # padded/real edge ratio - 1 (diagnostic)
+    num_zero_rows: int = 0  # degree-0 rows: no gather table at all — the
+    # kernel appends a zeros block (they sort last in row_order)
 
     def unpermute(self, out):
         return out[self.out_inv]
@@ -59,10 +61,11 @@ class SellPlan:
 jax.tree_util.register_pytree_node(
     SellPlan,
     lambda p: ((p.tables, p.row_order, p.out_inv, p.edge_row_out),
-               (p.num_rows, p.num_edges, p.pad_overhead)),
+               (p.num_rows, p.num_edges, p.pad_overhead, p.num_zero_rows)),
     lambda aux, ch: SellPlan(tables=ch[0], row_order=ch[1], out_inv=ch[2],
                              edge_row_out=ch[3], num_rows=aux[0],
-                             num_edges=aux[1], pad_overhead=aux[2]))
+                             num_edges=aux[1], pad_overhead=aux[2],
+                             num_zero_rows=aux[3]))
 
 
 def build_sell_plan(rowptr, *, width_multiple: int = 4,
@@ -79,17 +82,24 @@ def build_sell_plan(rowptr, *, width_multiple: int = 4,
     E = int(rp[-1])
     deg = np.diff(rp)
     perm = np.argsort(-deg, kind="stable")
+    # degree-0 rows get NO table: the kernel appends a zeros block for
+    # them (they sort last). Partitioned subgraphs routinely carry ~50%
+    # zero-degree halo/padding rows; gathering 4-wide pad lanes for each
+    # was pure overhead.
+    nz = perm[deg[perm] > 0]
+    zero_rows = perm[deg[perm] == 0]
     dpad = np.maximum(min_width, -(-deg // width_multiple) * width_multiple)
     tables = []
     order_parts = []
-    for d in np.unique(dpad[perm]):
-        rows = perm[dpad[perm] == d]
+    for d in np.unique(dpad[nz]):
+        rows = nz[dpad[nz] == d]
         starts = rp[rows]
         lens = deg[rows]
         idx = starts[:, None] + np.arange(d)[None, :]
         idx = np.where(np.arange(d)[None, :] < lens[:, None], idx, E)
         tables.append(jnp.asarray(idx.astype(np.int32)))
         order_parts.append(rows)
+    order_parts.append(zero_rows)
     row_order = np.concatenate(order_parts) if order_parts else \
         np.zeros(0, np.int64)
     out_inv = np.empty(N, np.int64)
@@ -100,7 +110,8 @@ def build_sell_plan(rowptr, *, width_multiple: int = 4,
                     row_order=jnp.asarray(row_order.astype(np.int32)),
                     out_inv=jnp.asarray(out_inv.astype(np.int32)),
                     edge_row_out=jnp.asarray(edge_row_out.astype(np.int32)),
-                    num_rows=N, num_edges=E, pad_overhead=pad)
+                    num_rows=N, num_edges=E, pad_overhead=pad,
+                    num_zero_rows=int(len(zero_rows)))
 
 
 def segment_sum_sell(data, plan: SellPlan, *, original_order: bool = False):
@@ -126,6 +137,8 @@ def _sell_core(data, plan):
         # no padded copy of `data` is ever materialized
         g = d32[jnp.minimum(t, E - 1)]
         outs.append(jnp.where((t < E)[:, :, None], g, 0.0).sum(axis=1))
+    if plan.num_zero_rows:
+        outs.append(jnp.zeros((plan.num_zero_rows, F), jnp.float32))
     return jnp.concatenate(outs) if outs else jnp.zeros((0, F), jnp.float32)
 
 
