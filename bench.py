@@ -695,6 +695,25 @@ def bench_ggraph_gen():
             "graphdf_validity_is_chem_kernel_proxy": True}
 
 
+def bench_ggraph3d_gen():
+    """3D generation (G-SphereNet, dig/ggraph3D): mols/s through the
+    on-device lax.scan placement loop (focus, d, theta, phi per atom)
+    after brief training on the step-supervision pipeline."""
+    import time as _t
+
+    from dig_tpu.ggraph3d import GSphereNet, QM93DGEN
+
+    ds = QM93DGEN(num_steps_per_batch=16)
+    gs = GSphereNet(num_node_types=4, hidden=64, num_flow_layers=4)
+    gs.train(ds.loader(), lr=1e-3, max_epochs=4, verbose=False)
+    n = 256
+    gs.generate([6, 7, 8, 9], num_gen=n, max_atoms=9)   # compile warm-up
+    t0 = _t.perf_counter()
+    samples = gs.generate([6, 7, 8, 9], num_gen=n, max_atoms=9, seed=1)
+    dt = _t.perf_counter() - t0
+    return {"gspherenet_gen_mols_per_s": round(n / dt, 1)}
+
+
 def bench_xgraph():
     """BASELINE config 5: explainability probe — GNNExplainer edge-mask
     optimization over a trained GCN on synthetic BA-shapes-style graphs
@@ -823,7 +842,7 @@ def main():
     extras2 = {}
     for fn in (bench_spherenet, bench_spherenet_force, bench_force,
                bench_pronet_comenet, bench_lsgraph, bench_ssl,
-               bench_ggraph_gen, bench_xgraph):
+               bench_ggraph_gen, bench_ggraph3d_gen, bench_xgraph):
         try:
             extras2.update(fn())
         except Exception as e:  # secondary metrics never sink the primary
